@@ -1,0 +1,201 @@
+"""Analytical RNEA gradient: dc/dq and dc/dqd, batched.
+
+Reimplements reference C4 (``rnea_grad_fpass_dq`` RBDReference.py:1127-1187,
+``rnea_grad_fpass_dqd`` :1189-1255, ``rnea_grad_bpass_dq`` :1257-1297,
+``rnea_grad_bpass_dqd`` :1299-1343, driver ``rnea_grad`` :1345-1368) as a fused
+batched Jacobian sweep (SURVEY.md §3.2: "per body a (6,n) GEMM" — here each
+body's derivative block update is one batched matmul/cross over all n columns at
+once, with the single derivative-column injections done via static `.at[]`
+updates).
+
+Fixed-base path is the exact analytical algorithm (the parity oracle).  For
+floating-base models the rpy-root derivative identities the reference assumes do
+not hold per-coordinate (its fb grad path is flagged broken, SURVEY.md §2.1), so
+``rnea_grad`` falls back to ``jax.jacfwd`` of the (exact, fb-correct) RNEA —
+still jit/vmap-compatible and machine-precision exact.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..model.robot import RobotModel
+from ..spatial.ops import cross_motion, cross_force
+from .rnea import gravity_accel, rnea
+from .xforms import joint_transforms
+
+
+def _cross_motion_cols(M, s):
+    """For M (..., 6, n): column-wise crm(M[:, c]) @ s -> (..., 6, n)."""
+    cols = jnp.swapaxes(M, -1, -2)  # (..., n, 6)
+    out = cross_motion(cols, jnp.broadcast_to(s, cols.shape))
+    return jnp.swapaxes(out, -1, -2)
+
+
+def _cross_force_cols(M, f):
+    """Column-wise crf(M[:, c]) @ f -> (..., 6, n)."""
+    cols = jnp.swapaxes(M, -1, -2)
+    out = cross_force(cols, jnp.broadcast_to(f, cols.shape))
+    return jnp.swapaxes(out, -1, -2)
+
+
+def _cross_force_by(v, M):
+    """Column-wise crf(v) @ M[:, c] -> (..., 6, n) for fixed motion vector v."""
+    cols = jnp.swapaxes(M, -1, -2)
+    out = cross_force(jnp.broadcast_to(v[..., None, :], cols.shape), cols)
+    return jnp.swapaxes(out, -1, -2)
+
+
+def rnea_grad_fpass(model: RobotModel, Xup, qd, v, a, gravity=-9.81):
+    """Both forward derivative sweeps (dq and dqd) fused in one pass over bodies
+    (they share X, v, Iv and the column-cross structure; reference runs them as
+    two separate loops :1127 and :1189).
+
+    Returns (df_dq, df_dqd): lists of (..., 6, n) per body.
+    """
+    nb, n = model.nb, model.nv
+    batch = Xup.shape[:-3]
+    dt = Xup.dtype
+    a_grav = gravity_accel(gravity, dt)
+
+    dv_q = [None] * nb
+    da_q = [None] * nb
+    df_q = [None] * nb
+    dv_d = [None] * nb
+    da_d = [None] * nb
+    df_d = [None] * nb
+
+    for i in range(nb):
+        p = model.parent[i]
+        Xi = Xup[..., i, :, :]
+        S = model.S[i]
+        qi = model.v_index(i)
+        qd_i = qd[..., qi]
+        zeros = jnp.zeros(batch + (6, n), dt)
+
+        if p == -1:
+            dvq = zeros
+            daq_base = zeros
+            Xa_ref = jnp.einsum("...ij,j->...i", Xi, a_grav)
+            dvd = zeros.at[..., :, qi].add(S)
+            dad_base = zeros
+        else:
+            dvq = Xi @ dv_q[p]
+            Xv = jnp.einsum("...ij,...j->...i", Xi, v[..., p, :])
+            dvq = dvq.at[..., :, qi].add(cross_motion(Xv, S))
+            daq_base = Xi @ da_q[p]
+            Xa_ref = jnp.einsum("...ij,...j->...i", Xi, a[..., p, :])
+            dvd = (Xi @ dv_d[p]).at[..., :, qi].add(S)
+            dad_base = Xi @ da_d[p]
+
+        daq = daq_base + qd_i[..., None, None] * _cross_motion_cols(dvq, S)
+        daq = daq.at[..., :, qi].add(cross_motion(Xa_ref, S))
+        dad = dad_base + qd_i[..., None, None] * _cross_motion_cols(dvd, S)
+        dad = dad.at[..., :, qi].add(cross_motion(v[..., i, :], S))
+
+        Ii = model.I[i]
+        vi = v[..., i, :]
+        Iv = jnp.einsum("ij,...j->...i", Ii, vi)
+        dfq = Ii @ daq + _cross_force_cols(dvq, Iv) + _cross_force_by(vi, Ii @ dvq)
+        dfd = Ii @ dad + _cross_force_cols(dvd, Iv) + _cross_force_by(vi, Ii @ dvd)
+
+        dv_q[i], da_q[i], df_q[i] = dvq, daq, dfq
+        dv_d[i], da_d[i], df_d[i] = dvd, dad, dfd
+
+    return df_q, df_d
+
+
+def rnea_grad_bpass(model: RobotModel, Xup, f, df_q, df_d, use_damping=False):
+    """Both backward derivative sweeps fused (reference :1257-1297 and
+    :1299-1343).  Returns (dc_dq, dc_dqd) each (..., n, n)."""
+    nb, n = model.nb, model.nv
+    batch = Xup.shape[:-3]
+    dt = Xup.dtype
+    dc_dq = jnp.zeros(batch + (n, n), dt)
+    dc_dqd = jnp.zeros(batch + (n, n), dt)
+    df_q = list(df_q)
+    df_d = list(df_d)
+
+    for i in range(nb - 1, -1, -1):
+        p = model.parent[i]
+        S = model.S[i]
+        qi = model.v_index(i)
+        dc_dq = dc_dq.at[..., qi, :].set(
+            jnp.einsum("j,...jc->...c", S, df_q[i])
+        )
+        dc_dqd = dc_dqd.at[..., qi, :].set(
+            jnp.einsum("j,...jc->...c", S, df_d[i])
+        )
+        if p != -1:
+            Xi = Xup[..., i, :, :]
+            XT = jnp.swapaxes(Xi, -1, -2)
+            df_q[p] = XT @ df_q[i]  + df_q[p]
+            # fxS(S, f) = -crm(f) @ S (reference :166-168); inject into column qi
+            delta = jnp.einsum(
+                "...ji,...j->...i", Xi, -cross_motion(f[..., i, :], S)
+            )
+            df_q[p] = df_q[p].at[..., :, qi].add(delta)
+            df_d[p] = XT @ df_d[i] + df_d[p]
+
+    if use_damping:
+        diag = jnp.zeros((n,), dt)
+        for i in range(nb):
+            if model.floating_base and i == 0:
+                for k in range(6):
+                    diag = diag.at[k].add(model.damping[0])
+            else:
+                diag = diag.at[model.v_index(i)].add(model.damping[i])
+        dc_dqd = dc_dqd + jnp.eye(n, dtype=dt) * diag
+
+    return dc_dq, dc_dqd
+
+
+def rnea_grad(
+    model: RobotModel,
+    q,
+    qd,
+    qdd=None,
+    gravity: float = -9.81,
+    use_damping: bool = False,
+    split: bool = False,
+):
+    """d(tau)/d(q, qd) of inverse dynamics.
+
+    Returns (..., n, 2n) hstacked like the reference (RBDReference.py:1367), or a
+    (dc_dq, dc_dqd) tuple when split=True.
+    """
+    if model.floating_base:
+        # exact jacobian through the fb-correct RNEA (see module docstring)
+        tau_fn = lambda q_, qd_, qdd_: rnea(model, q_, qd_, qdd_, gravity)[0]
+        qdd_arg = qdd if qdd is not None else jnp.zeros_like(qd)
+        dc_dq = _batched_jac(tau_fn, 0)(q, qd, qdd_arg)
+        dc_dqd = _batched_jac(tau_fn, 1)(q, qd, qdd_arg)
+        if use_damping:
+            n = model.nv
+            diag = jnp.zeros((n,), dc_dqd.dtype)
+            diag = diag.at[0:6].add(model.damping[0])
+            for i in range(1, model.nb):
+                diag = diag.at[model.v_index(i)].add(model.damping[i])
+            dc_dqd = dc_dqd + jnp.eye(n, dtype=dc_dqd.dtype) * diag
+    else:
+        Xup = joint_transforms(model, q)
+        c, v, a, f = rnea(model, q, qd, qdd, gravity)
+        df_q, df_d = rnea_grad_fpass(model, Xup, qd, v, a, gravity)
+        dc_dq, dc_dqd = rnea_grad_bpass(model, Xup, f, df_q, df_d, use_damping)
+    if split:
+        return dc_dq, dc_dqd
+    return jnp.concatenate([dc_dq, dc_dqd], axis=-1)
+
+
+def _batched_jac(fn, argnum):
+    """jacfwd that maps over arbitrary leading batch dims (last dim = coords)."""
+    def wrapped(*args):
+        jac = jax.jacfwd(fn, argnums=argnum)
+        lead = args[0].ndim - 1
+        if lead > 0:
+            batch_shape = args[0].shape[:-1]
+            flat = [a.reshape((-1, a.shape[-1])) for a in args]
+            out = jax.vmap(jac)(*flat)
+            return out.reshape(batch_shape + out.shape[1:])
+        return jac(*args)
+    return wrapped

@@ -1,0 +1,73 @@
+"""Per-joint transform computation shared by all dynamics algorithms.
+
+Replaces the reference's per-body closure evaluations inside every pass
+(``Xmat = robot.get_Xmat_Func_by_id(i)(q_i)`` at ``RBDReference.py:574,617,718``)
+with ONE vectorized builder: all NB joint transforms are computed in a single
+batched tensor op (the q-gather + Rodrigues + compose pipeline), which XLA maps
+onto the VPU/MXU across bodies x batch (SURVEY.md §7 key idiom #1).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..model.robot import RobotModel
+from ..spatial.transforms import (
+    FLOATING,
+    floating_spatial_x,
+    floating_hom_T,
+    joint_spatial_x,
+    joint_hom_T,
+)
+
+
+def q_per_joint(model: RobotModel, q):
+    """Gather the scalar coordinate of each 1-DoF joint: (..., nq) -> (..., NB).
+
+    For a floating base the root slot is filled with 0 (it is handled separately);
+    joint i>0 reads q[..., i+5] (the reference's `matrix_ind = ind + 5` shift,
+    ``RBDReference.py:634-638`` — here applied once, in the model layer).
+    """
+    if model.floating_base:
+        idx = jnp.array([0] + [i + 5 for i in range(1, model.nb)])
+        qj = q[..., idx]
+        return qj.at[..., 0].set(0.0)
+    return q
+
+
+def joint_transforms(model: RobotModel, q):
+    """All parent->child spatial motion transforms Xup: (..., nq) -> (..., NB, 6, 6)."""
+    qj = q_per_joint(model, q)
+    jtype = jnp.array(model.joint_type)
+    Xup = joint_spatial_x(jtype, model.axis, model.Xtree, qj)
+    if model.floating_base:
+        X0 = floating_spatial_x(model.Xtree[0], q[..., 0:6])
+        Xup = Xup.at[..., 0, :, :].set(X0)
+    return Xup
+
+
+def joint_transforms_hom(model: RobotModel, q):
+    """All child->parent homogeneous transforms T: (..., nq) -> (..., NB, 4, 4)."""
+    qj = q_per_joint(model, q)
+    jtype = jnp.array(model.joint_type)
+    T = joint_hom_T(jtype, model.axis, model.Ttree, qj)
+    if model.floating_base:
+        T0 = floating_hom_T(model.Ttree[0], q[..., 0:6])
+        T = T.at[..., 0, :, :].set(T0)
+    return T
+
+
+def x_force_inv_T(X):
+    """Force-coordinate transform X^{-T} from a motion transform X, computed
+    structurally (no linear solve): for X = [[E, 0], [-E rx, E]],
+    X^{-T} = [[E, -E rx], [0, E]] — a block rearrangement.
+
+    Used by the corrected external-force application (the reference's
+    ``apply_external_forces`` at RBDReference.py:529-557 inverts Xa.T with
+    np.linalg.inv and carries a latent bug; see SURVEY.md §2.1).
+    """
+    E = X[..., :3, :3]
+    LL = X[..., 3:, :3]  # = -E rx
+    zero = jnp.zeros_like(E)
+    top = jnp.concatenate([E, LL], axis=-1)
+    bot = jnp.concatenate([zero, E], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)

@@ -1,0 +1,211 @@
+"""RobotModel: the kinematic-tree model pytree consumed by every algorithm.
+
+TPU-native replacement for the external URDFParser ``robot`` object whose interface
+the reference consumes (SURVEY.md §1.1; call sites like ``RBDReference.py:570-574,
+595,662,666``).  Instead of per-joint closures and Python dicts, the model is:
+
+  - static topology metadata (parent pointers, joint types, index maps, subtree/
+    ancestor structure) stored as hashable tuples -> compile-time constants, so
+    traced algorithms unroll over bodies with static indices, and
+  - stacked numeric tensors (Xtree, Ttree, axis, S, I, damping) stored as jnp
+    arrays -> pytree leaves that live on device and batch under vmap.
+
+Joint index maps (``get_joint_index_q/v/f`` in the reference, SURVEY.md §1.1) are
+precomputed: for a fixed base, q/v/f index i is just the body index; for a floating
+base the root consumes q[0:6] / v[0:6] and body i>0 maps to index i+5.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..spatial.transforms import REVOLUTE, PRISMATIC, FLOATING, FIXED
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RobotModel:
+    # --- numeric leaves (device tensors, batchable) ---
+    Xtree: jax.Array  # (NB, 6, 6) fixed spatial transform parent->joint frame
+    Ttree: jax.Array  # (NB, 4, 4) fixed homogeneous transform joint->parent frame
+    axis: jax.Array  # (NB, 3) joint axis in joint frame (unit)
+    S: jax.Array  # (NB, 6) motion subspace for 1-DoF joints (root rows unused if fb)
+    I: jax.Array  # (NB, 6, 6) spatial inertia of body i in body frame
+    damping: jax.Array  # (NB,) viscous joint damping
+    # fixed frames (end-effector attachment frames from terminal fixed joints)
+    T_fixed: jax.Array  # (NF, 4, 4) homogeneous frame->parent-body transform
+
+    # --- static metadata (hashable; compile-time constants) ---
+    parent: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    joint_type: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    floating_base: bool = dataclasses.field(metadata=dict(static=True))
+    joint_names: Tuple[str, ...] = dataclasses.field(metadata=dict(static=True))
+    body_names: Tuple[str, ...] = dataclasses.field(metadata=dict(static=True))
+    fixed_frame_names: Tuple[str, ...] = dataclasses.field(metadata=dict(static=True))
+    fixed_frame_parent: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    name: str = dataclasses.field(default="robot", metadata=dict(static=True))
+
+    # ------------------------------------------------------------------ #
+    # Sizes and index maps (reference: get_num_bodies/joints/vel,        #
+    # get_joint_index_q/v/f — SURVEY.md §1.1)                            #
+    # ------------------------------------------------------------------ #
+    @property
+    def nb(self) -> int:
+        """Number of moving bodies (reference ``get_num_bodies``)."""
+        return len(self.parent)
+
+    @property
+    def nq(self) -> int:
+        """Configuration dimension (6-DoF rpy root if floating)."""
+        return self.nb + 5 if self.floating_base else self.nb
+
+    @property
+    def nv(self) -> int:
+        """Velocity dimension (reference ``get_num_vel``)."""
+        return self.nb + 5 if self.floating_base else self.nb
+
+    def q_index(self, i: int):
+        """q slice/index of joint i (reference ``get_joint_index_q``)."""
+        if self.floating_base:
+            return slice(0, 6) if i == 0 else i + 5
+        return i
+
+    def v_index(self, i: int):
+        """velocity index of joint i (reference ``get_joint_index_v``)."""
+        return self.q_index(i)
+
+    # ------------------------------------------------------------------ #
+    # Topology queries (static; evaluated at trace time)                 #
+    # ------------------------------------------------------------------ #
+    def children(self, i: int) -> Tuple[int, ...]:
+        return tuple(c for c, p in enumerate(self.parent) if p == i)
+
+    def subtree(self, i: int) -> Tuple[int, ...]:
+        """Descendants of i including i, ascending (reference ``get_subtree_by_id``)."""
+        out = [i]
+        k = 0
+        while k < len(out):
+            out.extend(self.children(out[k]))
+            k += 1
+        return tuple(sorted(out))
+
+    def ancestors(self, i: int) -> Tuple[int, ...]:
+        """Strict ancestors of i, root-first (reference ``get_ancestors_by_id``)."""
+        chain = []
+        p = self.parent[i]
+        while p != -1:
+            chain.append(p)
+            p = self.parent[p]
+        return tuple(reversed(chain))
+
+    def chain(self, i: int) -> Tuple[int, ...]:
+        """Root-to-i path including i."""
+        return self.ancestors(i) + (i,)
+
+    def leaves(self) -> Tuple[int, ...]:
+        """Leaf joint ids (reference ``get_leaf_nodes``)."""
+        has_child = set(self.parent)
+        return tuple(i for i in range(self.nb) if i not in has_child)
+
+    def topo_levels(self) -> Tuple[Tuple[int, ...], ...]:
+        """Bodies grouped by tree depth (root level first) — the per-level
+        parallel schedule used by the batched sweeps (SURVEY.md §7, P4)."""
+        depth = [0] * self.nb
+        for i in range(self.nb):
+            p = self.parent[i]
+            depth[i] = 0 if p == -1 else depth[p] + 1
+        nlev = max(depth) + 1 if self.nb else 0
+        return tuple(
+            tuple(i for i in range(self.nb) if depth[i] == lev) for lev in range(nlev)
+        )
+
+    def ancestor_mask(self) -> np.ndarray:
+        """(NB, NB) bool; [i, j] True iff j is a strict ancestor of i.  The dense
+        replacement for the reference's ragged ancestor lists (SURVEY.md §7)."""
+        m = np.zeros((self.nb, self.nb), dtype=bool)
+        for i in range(self.nb):
+            for j in self.ancestors(i):
+                m[i, j] = True
+        return m
+
+    def subtree_mask(self) -> np.ndarray:
+        """(NB, NB) bool; [i, j] True iff j is in subtree(i) (including i)."""
+        m = np.zeros((self.nb, self.nb), dtype=bool)
+        for i in range(self.nb):
+            for j in self.subtree(i):
+                m[i, j] = True
+        return m
+
+    def joint_id(self, name: str) -> int:
+        """Joint id by name (reference ``get_joint_by_name``)."""
+        return self.joint_names.index(name)
+
+    def fixed_frame_id(self, name: str) -> int:
+        """Fixed-frame id by name (reference ``get_fixed_joint_by_name``)."""
+        return self.fixed_frame_names.index(name)
+
+    def astype(self, dtype) -> "RobotModel":
+        """Cast all numeric leaves (e.g. to float64 for oracle parity runs)."""
+        return jax.tree.map(lambda x: x.astype(dtype), self)
+
+
+def make_model(
+    *,
+    parent,
+    joint_type,
+    axis,
+    Xtree,
+    Ttree,
+    S,
+    I,
+    damping=None,
+    floating_base=False,
+    joint_names=None,
+    body_names=None,
+    fixed_frame_names=(),
+    fixed_frame_parent=(),
+    T_fixed=None,
+    name="robot",
+    dtype=jnp.float32,
+) -> RobotModel:
+    """Assemble a RobotModel from raw arrays, validating topology."""
+    parent = tuple(int(p) for p in parent)
+    joint_type = tuple(int(t) for t in joint_type)
+    nb = len(parent)
+    for i, p in enumerate(parent):
+        if not (-1 <= p < i):
+            raise ValueError(
+                f"bodies must be topologically ordered: parent[{i}]={p}"
+            )
+    if sum(1 for p in parent if p == -1) != 1:
+        raise ValueError("exactly one root body expected")
+    if floating_base and joint_type[0] != FLOATING:
+        raise ValueError("floating_base model must have a FLOATING root joint")
+    joint_names = tuple(joint_names or (f"joint{i}" for i in range(nb)))
+    body_names = tuple(body_names or (f"body{i}" for i in range(nb)))
+    if T_fixed is None:
+        T_fixed = jnp.zeros((0, 4, 4), dtype)
+    if damping is None:
+        damping = jnp.zeros((nb,), dtype)
+    asarr = lambda x: jnp.asarray(x, dtype)
+    return RobotModel(
+        Xtree=asarr(Xtree),
+        Ttree=asarr(Ttree),
+        axis=asarr(axis),
+        S=asarr(S),
+        I=asarr(I),
+        damping=asarr(damping),
+        T_fixed=asarr(T_fixed),
+        parent=parent,
+        joint_type=joint_type,
+        floating_base=bool(floating_base),
+        joint_names=joint_names,
+        body_names=body_names,
+        fixed_frame_names=tuple(fixed_frame_names),
+        fixed_frame_parent=tuple(int(p) for p in fixed_frame_parent),
+        name=name,
+    )
