@@ -6,6 +6,6 @@ A2R-Lab/RBDReference (see SURVEY.md): batched spatial-algebra tree kernels
 gradients/Hessians) over URDF-parsed robot models, wrapped in DDP/iLQR and
 sampling MPC solvers that shard across TPU meshes.
 """
-from . import spatial, model, dynamics
+from . import spatial, model, dynamics, kinematics, solver, distrib
 
 __version__ = "0.1.0"

@@ -35,7 +35,8 @@ def _cross_motion_cols(M, s):
 def _cross_force_cols(M, f):
     """Column-wise crf(M[:, c]) @ f -> (..., 6, n)."""
     cols = jnp.swapaxes(M, -1, -2)
-    out = cross_force(cols, jnp.broadcast_to(f, cols.shape))
+    f_cols = jnp.broadcast_to(f[..., None, :], cols.shape)
+    out = cross_force(cols, f_cols)
     return jnp.swapaxes(out, -1, -2)
 
 

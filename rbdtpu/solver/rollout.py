@@ -1,0 +1,47 @@
+"""Trajectory rollout and batched linearization.
+
+The MPC inner loop from SURVEY.md §3.4: rollout = scan(forward_dynamics +
+integrator) over the horizon; linearization = forward_dynamics_full per knot,
+vmapped across the horizon (knots are independent given the nominal trajectory,
+so the whole linearization is ONE batched sweep that feeds the MXU).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..model.robot import RobotModel
+from ..dynamics.aba import aba
+from ..dynamics.fd import forward_dynamics_full
+from .integrate import euler_semi_implicit, split_state, step_jacobians
+
+
+def rollout(model: RobotModel, x0, U, dt: float, gravity: float = -9.81):
+    """Roll the dynamics forward under a control sequence.
+
+    x0 (..., nx), U (..., H, nv) -> X (..., H+1, nx); leading batch dims are
+    carried through the scan (P1 batching: many rollouts per chip via vmap on
+    top of this).  Uses the O(n) ABA route per step (SURVEY.md §3.4 note).
+    """
+    def step(x, u):
+        q, qd = split_state(model, x)
+        qdd = aba(model, q, qd, u, gravity=gravity)
+        x_next = euler_semi_implicit(model, x, qdd, dt)
+        return x_next, x_next
+
+    U_t = jnp.moveaxis(U, -2, 0)  # scan over time axis
+    _, X_t = jax.lax.scan(step, x0, U_t)
+    X = jnp.moveaxis(X_t, 0, -2)
+    return jnp.concatenate([x0[..., None, :], X], axis=-2)
+
+
+def linearize_trajectory(model: RobotModel, X, U, dt: float,
+                         gravity: float = -9.81):
+    """Per-knot discrete Jacobians along a nominal trajectory.
+
+    X (..., H+1, nx), U (..., H, nv) -> A (..., H, nx, nx), B (..., H, nx, nv).
+    One vmapped batched sweep over all H knots at once.
+    """
+    q, qd = split_state(model, X[..., :-1, :])
+    _, Mi, dq, dqd = forward_dynamics_full(model, q, qd, U, gravity)
+    return step_jacobians(model, Mi, dq, dqd, dt)

@@ -1,0 +1,138 @@
+"""Property tests (SURVEY.md §4 item 2): algebraic identities that hold for any
+correct implementation — the validation path for floating-base models, where the
+reference oracle itself carries bugs (SURVEY.md §2.1).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rbdtpu import dynamics as dyn
+from rbdtpu.spatial import ops as so
+
+from conftest import random_state
+
+TOL = 1e-8
+
+
+# --------------------------------------------------------------------------- #
+# Spatial algebra identities                                                  #
+# --------------------------------------------------------------------------- #
+
+def test_crf_is_neg_crm_transpose(rng):
+    v = rng.uniform(-1, 1, (5, 6))
+    np.testing.assert_allclose(
+        np.asarray(so.crf(v)), -np.swapaxes(np.asarray(so.crm(v)), -1, -2), atol=TOL
+    )
+
+
+def test_icrf_identity(rng):
+    f = rng.uniform(-1, 1, 6)
+    v = rng.uniform(-1, 1, 6)
+    lhs = so.icrf(jnp.array(f)) @ v
+    rhs = so.crf(jnp.array(v)) @ f
+    np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), atol=TOL)
+
+
+def test_cross_products_match_operators(rng):
+    v = rng.uniform(-1, 1, 6)
+    m = rng.uniform(-1, 1, 6)
+    np.testing.assert_allclose(
+        np.asarray(so.cross_motion(jnp.array(v), jnp.array(m))),
+        np.asarray(so.crm(jnp.array(v)) @ m),
+        atol=TOL,
+    )
+    np.testing.assert_allclose(
+        np.asarray(so.cross_force(jnp.array(v), jnp.array(m))),
+        np.asarray(so.crf(jnp.array(v)) @ m),
+        atol=TOL,
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Dynamics identities (fixed base and floating base)                          #
+# --------------------------------------------------------------------------- #
+
+@pytest.fixture(params=["arm7", "quadruped12fb"])
+def model(request, arm7, quadruped12fb):
+    return {"arm7": arm7, "quadruped12fb": quadruped12fb}[request.param]
+
+
+def test_minv_inverts_crba(model, rng):
+    q, _, _ = random_state(rng, model)
+    H = dyn.crba(model, jnp.array(q))
+    Mi = dyn.minv(model, jnp.array(q))
+    np.testing.assert_allclose(
+        np.asarray(H @ Mi), np.eye(model.nv), atol=1e-7
+    )
+
+
+def test_mass_matrix_spd(model, rng):
+    q, _, _ = random_state(rng, model)
+    H = np.asarray(dyn.crba(model, jnp.array(q)))
+    np.testing.assert_allclose(H, H.T, atol=TOL)
+    assert np.linalg.eigvalsh(H).min() > 0
+
+
+def test_aba_matches_minv_route(model, rng):
+    q, qd, tau = random_state(rng, model)
+    qdd_aba = dyn.aba(model, jnp.array(q), jnp.array(qd), jnp.array(tau))
+    qdd_fd = dyn.forward_dynamics(model, jnp.array(q), jnp.array(qd), jnp.array(tau))
+    np.testing.assert_allclose(np.asarray(qdd_aba), np.asarray(qdd_fd), atol=1e-7)
+
+
+def test_rnea_aba_roundtrip(model, rng):
+    """tau -> ABA -> qdd -> RNEA -> tau."""
+    q, qd, tau = random_state(rng, model)
+    qdd = dyn.aba(model, jnp.array(q), jnp.array(qd), jnp.array(tau))
+    tau_back = dyn.rnea(model, jnp.array(q), jnp.array(qd), qdd)[0]
+    np.testing.assert_allclose(np.asarray(tau_back), tau, atol=1e-7)
+
+
+def test_rnea_grad_matches_jacfwd(model, rng):
+    q, qd, _ = random_state(rng, model)
+    qdd = rng.uniform(-1, 1, model.nv)
+    dc_dq, dc_dqd = dyn.rnea_grad(
+        model, jnp.array(q), jnp.array(qd), jnp.array(qdd), split=True
+    )
+    tau_fn = lambda q_, qd_: dyn.rnea(model, q_, qd_, jnp.array(qdd))[0]
+    J_q = jax.jacfwd(tau_fn, argnums=0)(jnp.array(q), jnp.array(qd))
+    J_qd = jax.jacfwd(tau_fn, argnums=1)(jnp.array(q), jnp.array(qd))
+    np.testing.assert_allclose(np.asarray(dc_dq), np.asarray(J_q), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(dc_dqd), np.asarray(J_qd), atol=1e-7)
+
+
+def test_external_forces_roundtrip(model, rng):
+    """RNEA(q, qd, ABA(q, qd, tau, f_ext), f_ext) == tau."""
+    q, qd, tau = random_state(rng, model)
+    f_ext = rng.uniform(-1, 1, (model.nb, 6))
+    qdd = dyn.aba(
+        model, jnp.array(q), jnp.array(qd), jnp.array(tau), f_ext=jnp.array(f_ext)
+    )
+    tau_back = dyn.rnea(
+        model, jnp.array(q), jnp.array(qd), qdd, f_ext=jnp.array(f_ext)
+    )[0]
+    np.testing.assert_allclose(np.asarray(tau_back), tau, atol=1e-7)
+
+
+def test_ee_fk_derivatives_match_ad(arm7, rng):
+    """Analytic FK gradient and Hessian are exact (machine precision vs AD).
+    The reference's Hessian pitch rows carry ~1e-6 numerical error; ours must
+    not (see test_parity.py::test_ee_pose_hessian_parity)."""
+    from rbdtpu.kinematics import fk
+
+    q = jnp.array(rng.uniform(-1, 1, arm7.nq))
+    G = fk.ee_pose_gradient(arm7, q)
+    G_ad = jax.jacfwd(lambda qq: fk.ee_pose(arm7, qq))(q)
+    np.testing.assert_allclose(np.asarray(G), np.asarray(G_ad), atol=1e-12)
+    H = fk.ee_pose_hessian(arm7, q)
+    H_ad = jax.jacfwd(lambda qq: fk.ee_pose_gradient(arm7, qq))(q)
+    np.testing.assert_allclose(np.asarray(H), np.asarray(H_ad), atol=1e-12)
+
+
+def test_gravity_zero_free_fall(model, rng):
+    """With tau=0, qd=0 and g=0 every joint acceleration vanishes."""
+    q, _, _ = random_state(rng, model)
+    zeros = jnp.zeros(model.nv, jnp.float64)
+    qdd = dyn.aba(model, jnp.array(q), zeros, zeros, gravity=0.0)
+    np.testing.assert_allclose(np.asarray(qdd), 0.0, atol=1e-9)
