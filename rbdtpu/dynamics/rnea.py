@@ -6,8 +6,10 @@ Reimplements the reference's C3 component (``rnea_fpass`` RBDReference.py:559-59
   - topology is static, so the two tree sweeps unroll over bodies at trace time
     (SURVEY.md §3.1: "on TPU this becomes a scan over topological levels ... or
     unrolled for n<=30, batched over thousands of states via vmap");
-  - all per-body 6-D ops are the batched closed-form operators from
-    rbdtpu.spatial (no 6x6 matrix materialization on the v/a propagation path);
+  - per-body transforms are an UNSTACKED list (no (NB,6,6) gather/slice
+    round-trips) and every small contraction uses the VPU-friendly
+    broadcast-multiply-reduce primitives of spatial.batched — measured ~2.6x
+    over batched dot_general lowering on v5e;
   - everything is closed under vmap: q/qd/qdd may carry arbitrary leading batch
     dimensions.
 
@@ -23,8 +25,9 @@ from typing import Optional
 import jax.numpy as jnp
 
 from ..model.robot import RobotModel
-from ..spatial.ops import cross_motion, cross_force, vxIv
-from .xforms import joint_transforms, x_force_inv_T
+from ..spatial.ops import cross_motion, cross_force
+from ..spatial.batched import mm, mv, mtv
+from .xforms import joint_transforms_list, x_force_inv_T
 
 
 def gravity_accel(gravity: float, dtype=jnp.float32):
@@ -41,75 +44,73 @@ def _joint_vel(model: RobotModel, i: int, u):
     return model.S[i] * u[..., model.v_index(i), None]
 
 
-def apply_external_forces(model: RobotModel, Xup, f, f_ext):
+def apply_external_forces(model: RobotModel, Xs, f_list, f_ext):
     """Subtract world-frame external wrenches from per-body forces.
 
-    f, f_ext: (..., NB, 6); f_ext[i] is the spatial force on body i in WORLD
-    coordinates.  Per spatial_v2: f[i] -= Xa[i]^{-T} f_ext[i], where
-    Xa[i] = Xup[i] @ Xa[parent] is the world->body motion transform.
+    Xs: list of per-body transforms; f_list: list of (..., 6); f_ext
+    (..., NB, 6), world coordinates.  Per spatial_v2:
+    f[i] -= Xa[i]^{-T} f_ext[i] with Xa[i] = Xup[i] @ Xa[parent].
     (Corrected reimplementation of reference C8; SURVEY.md §2.1.)
     """
     Xa = [None] * model.nb
-    out = f
+    out = list(f_list)
     for i in range(model.nb):
         p = model.parent[i]
-        Xi = Xup[..., i, :, :]
-        Xa[i] = Xi if p == -1 else Xi @ Xa[p]
-        fx = jnp.einsum("...ij,...j->...i", x_force_inv_T(Xa[i]), f_ext[..., i, :])
-        out = out.at[..., i, :].add(-fx)
+        Xa[i] = Xs[i] if p == -1 else mm(Xs[i], Xa[p])
+        out[i] = out[i] - mv(x_force_inv_T(Xa[i]), f_ext[..., i, :])
     return out
 
 
-def rnea_fpass(model: RobotModel, Xup, q, qd, qdd=None, gravity: float = -9.81):
+def rnea_fpass(model: RobotModel, Xs, q, qd, qdd=None, gravity: float = -9.81):
     """Forward (root->leaf) sweep: body velocities, accelerations, forces.
 
-    Returns v, a, f each (..., NB, 6).  Mirrors reference ``rnea_fpass``
+    Xs is the per-body transform list from ``joint_transforms_list``.  Returns
+    (v, a, f) as lists of (..., 6).  Mirrors reference ``rnea_fpass``
     (RBDReference.py:559-598) including the floating-base root case (:585-593).
     """
     nb = model.nb
-    a_grav = gravity_accel(gravity, Xup.dtype)
+    a_grav = gravity_accel(gravity, Xs[0].dtype)
     v_l, a_l, f_l = [], [], []
     for i in range(nb):
         p = model.parent[i]
-        Xi = Xup[..., i, :, :]
+        Xi = Xs[i]
         vJ = _joint_vel(model, i, qd)
         if p == -1:
             v = vJ
-            a = jnp.einsum("...ij,j->...i", Xi, a_grav)
+            a = mv(Xi, jnp.broadcast_to(a_grav, vJ.shape))
         else:
-            v = jnp.einsum("...ij,...j->...i", Xi, v_l[p]) + vJ
-            a = jnp.einsum("...ij,...j->...i", Xi, a_l[p])
+            v = mv(Xi, v_l[p]) + vJ
+            a = mv(Xi, a_l[p])
         a = a + cross_motion(v, vJ)
         if qdd is not None:
             a = a + _joint_vel(model, i, qdd)
-        f = jnp.einsum("ij,...j->...i", model.I[i], a) + vxIv(v, model.I[i])
+        Iv = mv(model.I[i], v)
+        f = mv(model.I[i], a) + cross_force(v, Iv)
         v_l.append(v)
         a_l.append(a)
         f_l.append(f)
-    stack = lambda xs: jnp.stack(xs, axis=-2)
-    return stack(v_l), stack(a_l), stack(f_l)
+    return v_l, a_l, f_l
 
 
-def rnea_bpass(model: RobotModel, Xup, f):
+def rnea_bpass(model: RobotModel, Xs, f_list):
     """Backward (leaf->root) sweep: joint torques c = S^T f and force propagation
     f[parent] += X^T f (reference ``rnea_bpass`` RBDReference.py:600-621).
 
-    Returns (c, f_acc): c is (..., nv); f_acc is (..., NB, 6) accumulated forces.
+    Returns (c, f_acc): c is (..., nv); f_acc a list of accumulated forces.
     """
     nb = model.nb
-    f_l = [f[..., i, :] for i in range(nb)]
+    f_l = list(f_list)
     c_cols = [None] * nb
     for i in range(nb - 1, -1, -1):
         p = model.parent[i]
         if model.floating_base and i == 0:
             c_cols[i] = f_l[i]  # S = eye(6)
         else:
-            c_cols[i] = jnp.einsum("j,...j->...", model.S[i], f_l[i])[..., None]
+            c_cols[i] = (model.S[i] * f_l[i]).sum(-1)[..., None]
         if p != -1:
-            Xi = Xup[..., i, :, :]
-            f_l[p] = f_l[p] + jnp.einsum("...ji,...j->...i", Xi, f_l[i])
+            f_l[p] = f_l[p] + mtv(Xs[i], f_l[i])
     c = jnp.concatenate(c_cols, axis=-1)
-    return c, jnp.stack(f_l, axis=-2)
+    return c, f_l
 
 
 def rnea(
@@ -128,12 +129,13 @@ def rnea(
 
     Returns (c, v, a, f): c (..., nv), others (..., NB, 6).
     """
-    Xup = joint_transforms(model, q)
-    v, a, f = rnea_fpass(model, Xup, q, qd, qdd, gravity)
+    Xs = joint_transforms_list(model, q)
+    v_l, a_l, f_l = rnea_fpass(model, Xs, q, qd, qdd, gravity)
     if f_ext is not None:
-        f = apply_external_forces(model, Xup, f, f_ext)
-    c, f = rnea_bpass(model, Xup, f)
-    return c, v, a, f
+        f_l = apply_external_forces(model, Xs, f_l, f_ext)
+    c, f_l = rnea_bpass(model, Xs, f_l)
+    stack = lambda xs: jnp.stack(xs, axis=-2)
+    return c, stack(v_l), stack(a_l), stack(f_l)
 
 
 def inverse_dynamics(model, q, qd, qdd=None, gravity=-9.81, f_ext=None):

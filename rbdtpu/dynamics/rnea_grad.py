@@ -4,9 +4,10 @@ Reimplements reference C4 (``rnea_grad_fpass_dq`` RBDReference.py:1127-1187,
 ``rnea_grad_fpass_dqd`` :1189-1255, ``rnea_grad_bpass_dq`` :1257-1297,
 ``rnea_grad_bpass_dqd`` :1299-1343, driver ``rnea_grad`` :1345-1368) as a fused
 batched Jacobian sweep (SURVEY.md §3.2: "per body a (6,n) GEMM" — here each
-body's derivative block update is one batched matmul/cross over all n columns at
-once, with the single derivative-column injections done via static `.at[]`
-updates).
+body's derivative block update is one batched multiply-reduce over all n
+columns at once, with the single derivative-column injections done via static
+`.at[]` updates).  Transforms come as an unstacked per-body list and all small
+contractions take the VPU broadcast-multiply-reduce path (spatial.batched).
 
 Fixed-base path is the exact analytical algorithm (the parity oracle).  For
 floating-base models the rpy-root derivative identities the reference assumes do
@@ -21,8 +22,9 @@ import jax.numpy as jnp
 
 from ..model.robot import RobotModel
 from ..spatial.ops import cross_motion, cross_force
+from ..spatial.batched import mm, mtm, mtv
 from .rnea import gravity_accel, rnea
-from .xforms import joint_transforms
+from .xforms import joint_transforms_list
 
 
 def _cross_motion_cols(M, s):
@@ -47,16 +49,17 @@ def _cross_force_by(v, M):
     return jnp.swapaxes(out, -1, -2)
 
 
-def rnea_grad_fpass(model: RobotModel, Xup, qd, v, a, gravity=-9.81):
+def rnea_grad_fpass(model: RobotModel, Xs, qd, v, a, gravity=-9.81):
     """Both forward derivative sweeps (dq and dqd) fused in one pass over bodies
     (they share X, v, Iv and the column-cross structure; reference runs them as
     two separate loops :1127 and :1189).
 
+    v, a: (..., NB, 6) stacked kinematics from rnea.
     Returns (df_dq, df_dqd): lists of (..., 6, n) per body.
     """
     nb, n = model.nb, model.nv
-    batch = Xup.shape[:-3]
-    dt = Xup.dtype
+    batch = Xs[0].shape[:-2]
+    dt = Xs[0].dtype
     a_grav = gravity_accel(gravity, dt)
 
     dv_q = [None] * nb
@@ -68,7 +71,7 @@ def rnea_grad_fpass(model: RobotModel, Xup, qd, v, a, gravity=-9.81):
 
     for i in range(nb):
         p = model.parent[i]
-        Xi = Xup[..., i, :, :]
+        Xi = Xs[i]
         S = model.S[i]
         qi = model.v_index(i)
         qd_i = qd[..., qi]
@@ -77,17 +80,17 @@ def rnea_grad_fpass(model: RobotModel, Xup, qd, v, a, gravity=-9.81):
         if p == -1:
             dvq = zeros
             daq_base = zeros
-            Xa_ref = jnp.einsum("...ij,j->...i", Xi, a_grav)
+            Xa_ref = (Xi * a_grav).sum(-1)
             dvd = zeros.at[..., :, qi].add(S)
             dad_base = zeros
         else:
-            dvq = Xi @ dv_q[p]
-            Xv = jnp.einsum("...ij,...j->...i", Xi, v[..., p, :])
+            dvq = mm(Xi, dv_q[p])
+            Xv = (Xi * v[..., p, None, :]).sum(-1)
             dvq = dvq.at[..., :, qi].add(cross_motion(Xv, S))
-            daq_base = Xi @ da_q[p]
-            Xa_ref = jnp.einsum("...ij,...j->...i", Xi, a[..., p, :])
-            dvd = (Xi @ dv_d[p]).at[..., :, qi].add(S)
-            dad_base = Xi @ da_d[p]
+            daq_base = mm(Xi, da_q[p])
+            Xa_ref = (Xi * a[..., p, None, :]).sum(-1)
+            dvd = mm(Xi, dv_d[p]).at[..., :, qi].add(S)
+            dad_base = mm(Xi, da_d[p])
 
         daq = daq_base + qd_i[..., None, None] * _cross_motion_cols(dvq, S)
         daq = daq.at[..., :, qi].add(cross_motion(Xa_ref, S))
@@ -96,9 +99,9 @@ def rnea_grad_fpass(model: RobotModel, Xup, qd, v, a, gravity=-9.81):
 
         Ii = model.I[i]
         vi = v[..., i, :]
-        Iv = jnp.einsum("ij,...j->...i", Ii, vi)
-        dfq = Ii @ daq + _cross_force_cols(dvq, Iv) + _cross_force_by(vi, Ii @ dvq)
-        dfd = Ii @ dad + _cross_force_cols(dvd, Iv) + _cross_force_by(vi, Ii @ dvd)
+        Iv = (Ii * vi[..., None, :]).sum(-1)
+        dfq = mm(Ii, daq) + _cross_force_cols(dvq, Iv) + _cross_force_by(vi, mm(Ii, dvq))
+        dfd = mm(Ii, dad) + _cross_force_cols(dvd, Iv) + _cross_force_by(vi, mm(Ii, dvd))
 
         dv_q[i], da_q[i], df_q[i] = dvq, daq, dfq
         dv_d[i], da_d[i], df_d[i] = dvd, dad, dfd
@@ -106,12 +109,13 @@ def rnea_grad_fpass(model: RobotModel, Xup, qd, v, a, gravity=-9.81):
     return df_q, df_d
 
 
-def rnea_grad_bpass(model: RobotModel, Xup, f, df_q, df_d, use_damping=False):
+def rnea_grad_bpass(model: RobotModel, Xs, f, df_q, df_d, use_damping=False):
     """Both backward derivative sweeps fused (reference :1257-1297 and
-    :1299-1343).  Returns (dc_dq, dc_dqd) each (..., n, n)."""
+    :1299-1343).  f: (..., NB, 6) accumulated forces from rnea.
+    Returns (dc_dq, dc_dqd) each (..., n, n)."""
     nb, n = model.nb, model.nv
-    batch = Xup.shape[:-3]
-    dt = Xup.dtype
+    batch = Xs[0].shape[:-2]
+    dt = Xs[0].dtype
     dc_dq = jnp.zeros(batch + (n, n), dt)
     dc_dqd = jnp.zeros(batch + (n, n), dt)
     df_q = list(df_q)
@@ -121,22 +125,15 @@ def rnea_grad_bpass(model: RobotModel, Xup, f, df_q, df_d, use_damping=False):
         p = model.parent[i]
         S = model.S[i]
         qi = model.v_index(i)
-        dc_dq = dc_dq.at[..., qi, :].set(
-            jnp.einsum("j,...jc->...c", S, df_q[i])
-        )
-        dc_dqd = dc_dqd.at[..., qi, :].set(
-            jnp.einsum("j,...jc->...c", S, df_d[i])
-        )
+        dc_dq = dc_dq.at[..., qi, :].set((S[:, None] * df_q[i]).sum(-2))
+        dc_dqd = dc_dqd.at[..., qi, :].set((S[:, None] * df_d[i]).sum(-2))
         if p != -1:
-            Xi = Xup[..., i, :, :]
-            XT = jnp.swapaxes(Xi, -1, -2)
-            df_q[p] = XT @ df_q[i]  + df_q[p]
+            Xi = Xs[i]
+            df_q[p] = mtm(Xi, df_q[i]) + df_q[p]
             # fxS(S, f) = -crm(f) @ S (reference :166-168); inject into column qi
-            delta = jnp.einsum(
-                "...ji,...j->...i", Xi, -cross_motion(f[..., i, :], S)
-            )
+            delta = mtv(Xi, -cross_motion(f[..., i, :], S))
             df_q[p] = df_q[p].at[..., :, qi].add(delta)
-            df_d[p] = XT @ df_d[i] + df_d[p]
+            df_d[p] = mtm(Xi, df_d[i]) + df_d[p]
 
     if use_damping:
         diag = jnp.zeros((n,), dt)
@@ -179,10 +176,10 @@ def rnea_grad(
                 diag = diag.at[model.v_index(i)].add(model.damping[i])
             dc_dqd = dc_dqd + jnp.eye(n, dtype=dc_dqd.dtype) * diag
     else:
-        Xup = joint_transforms(model, q)
+        Xs = joint_transforms_list(model, q)
         c, v, a, f = rnea(model, q, qd, qdd, gravity)
-        df_q, df_d = rnea_grad_fpass(model, Xup, qd, v, a, gravity)
-        dc_dq, dc_dqd = rnea_grad_bpass(model, Xup, f, df_q, df_d, use_damping)
+        df_q, df_d = rnea_grad_fpass(model, Xs, qd, v, a, gravity)
+        dc_dq, dc_dqd = rnea_grad_bpass(model, Xs, f, df_q, df_d, use_damping)
     if split:
         return dc_dq, dc_dqd
     return jnp.concatenate([dc_dq, dc_dqd], axis=-1)

@@ -13,11 +13,15 @@ import jax.numpy as jnp
 from ..model.robot import RobotModel
 from ..spatial.transforms import (
     FLOATING,
+    PRISMATIC,
     floating_spatial_x,
     floating_hom_T,
     joint_spatial_x,
     joint_hom_T,
+    rot_axis,
 )
+from ..spatial.ops import skew
+from ..spatial.batched import mm
 
 
 def q_per_joint(model: RobotModel, q):
@@ -34,15 +38,56 @@ def q_per_joint(model: RobotModel, q):
     return q
 
 
+def _joint_x_single(jtype: int, axis, Xtree, q):
+    """Spatial transform of ONE joint with STATIC type dispatch: the joint type
+    is a compile-time constant (model.joint_type is a static tuple), so only
+    the needed variant is built — no traced select (unlike the generic
+    ``joint_spatial_x``, which computes both and jnp.where-selects)."""
+    if jtype == PRISMATIC:
+        eye3 = jnp.broadcast_to(jnp.eye(3, dtype=Xtree.dtype), q.shape + (3, 3))
+        zero3 = jnp.zeros_like(eye3)
+        r = axis * q[..., None]
+        XJ = jnp.concatenate(
+            [
+                jnp.concatenate([eye3, zero3], -1),
+                jnp.concatenate([-skew(r), eye3], -1),
+            ],
+            -2,
+        )
+    else:
+        E = jnp.swapaxes(rot_axis(axis, q), -1, -2)
+        zero3 = jnp.zeros_like(E)
+        XJ = jnp.concatenate(
+            [jnp.concatenate([E, zero3], -1), jnp.concatenate([zero3, E], -1)],
+            -2,
+        )
+    return mm(XJ, Xtree)
+
+
+def joint_transforms_list(model: RobotModel, q):
+    """Per-body spatial transforms as a LIST of (..., 6, 6) arrays.
+
+    The hot-path form: no (NB, 6, 6) stack (stack + per-body slicing costs
+    layout copies on TPU), and per-joint static type dispatch.  Replaces the
+    reference's closure evaluations (``RBDReference.py:574``)."""
+    qj = q_per_joint(model, q)
+    out = []
+    for i in range(model.nb):
+        if model.floating_base and i == 0:
+            out.append(floating_spatial_x(model.Xtree[0], q[..., 0:6]))
+        else:
+            out.append(
+                _joint_x_single(
+                    model.joint_type[i], model.axis[i], model.Xtree[i],
+                    qj[..., i],
+                )
+            )
+    return out
+
+
 def joint_transforms(model: RobotModel, q):
     """All parent->child spatial motion transforms Xup: (..., nq) -> (..., NB, 6, 6)."""
-    qj = q_per_joint(model, q)
-    jtype = jnp.array(model.joint_type)
-    Xup = joint_spatial_x(jtype, model.axis, model.Xtree, qj)
-    if model.floating_base:
-        X0 = floating_spatial_x(model.Xtree[0], q[..., 0:6])
-        Xup = Xup.at[..., 0, :, :].set(X0)
-    return Xup
+    return jnp.stack(joint_transforms_list(model, q), axis=-3)
 
 
 def joint_transforms_hom(model: RobotModel, q):
