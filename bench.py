@@ -84,19 +84,60 @@ def bench_numpy_baseline(model):
     q = rng.uniform(-1, 1, model.nq)
     qd = rng.uniform(-1, 1, model.nv)
     u = rng.uniform(-1, 1, model.nv)
-    # warmup + time
-    n = 50
+    # min over batches of steps: robust to host noise
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(20):
+            qdd = np.asarray(ref.forward_dynamics(q, qd, u)).ravel()
+            qd = qd + DT * qdd
+            q = q + DT * qd
+        best = min(best, (time.perf_counter() - t0) / 20)
+    log(f"numpy reference: {best*1e3:.3f} ms/step -> {1/best:,.0f} steps/s")
+    return 1.0 / best
+
+
+def bench_mpc_solves(model):
+    """DDP MPC solves/s (BASELINE.json configs[2]: iiwa reaching, H=100,
+    rnea_grad linearization).  Gated behind RBDTPU_BENCH_MPC=1 — the full-solver
+    compile is minutes-long on a cold cache."""
+    from rbdtpu.solver import DDPConfig, ddp_solve, ee_reaching_cost
+
+    H, iters, Bm = 100, 10, 128
+    cost = ee_reaching_cost(
+        model, jnp.array([0.3, 0.2, 0.8], jnp.float32),
+        w_ee=10.0, w_ee_f=2000.0, w_u=1e-6, w_qd=1e-3, w_qd_f=0.1,
+    )
+    from rbdtpu.dynamics import rnea
+
+    cfg = DDPConfig(iters=iters, dt=0.01, n_alphas=8, fused=True)
+    key = jax.random.PRNGKey(0)
+    x0 = 0.05 * jax.random.normal(key, (Bm, model.nq + model.nv), jnp.float32)
+    # gravity-compensation warm start: a zero-torque nominal swings freely and
+    # diverges over a 1 s horizon; holding torques give a sane nominal (the
+    # standard MPC warm start — and exactly what rnea computes)
+    q0 = x0[..., : model.nq]
+    zero = jnp.zeros((Bm, model.nv), jnp.float32)
+    u_hold = rnea(model, q0, zero, zero)[0]
+    U0 = jnp.broadcast_to(u_hold[:, None, :], (Bm, H, model.nv))
+    f = jax.jit(lambda x, U: ddp_solve(model, cost, x, U, cfg)[0].J)
     t0 = time.perf_counter()
-    for _ in range(n):
-        qdd = np.asarray(ref.forward_dynamics(q, qd, u)).ravel()
-        qd = qd + DT * qdd
-        q = q + DT * qd
-    per_step = (time.perf_counter() - t0) / n
-    log(f"numpy reference: {per_step*1e3:.3f} ms/step -> {1/per_step:,.0f} steps/s")
-    return 1.0 / per_step
+    J = f(x0, U0)
+    J.block_until_ready()
+    log(f"mpc compile+1: {time.perf_counter()-t0:.1f}s")
+    assert bool(jnp.all(jnp.isfinite(J))), "MPC solves produced non-finite J"
+    best = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        f(x0, U0).block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    log(f"mpc: {best*1e3:.1f} ms for {Bm} solves -> {Bm/best:,.0f} solves/s "
+        f"(H={H}, iters={iters}, meanJ={float(J.mean()):.3f})")
+    return Bm / best
 
 
 def main():
+    import os
     from rbdtpu.model import load_asset
 
     model = load_asset("arm7", dtype=np.float32)
@@ -104,12 +145,15 @@ def main():
     steps_per_s = bench_tpu_rollout(model)
     base = bench_numpy_baseline(load_asset("arm7", dtype=np.float64))
     vs = steps_per_s / base if np.isfinite(base) else None
-    print(json.dumps({
+    result = {
         "metric": "fd_rollout_steps_per_s_4096x50_arm7",
         "value": round(steps_per_s),
         "unit": "steps/s",
         "vs_baseline": round(vs, 1) if vs else None,
-    }), flush=True)
+    }
+    if os.environ.get("RBDTPU_BENCH_MPC") == "1":
+        result["mpc_solves_per_s_H100"] = round(bench_mpc_solves(model))
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..model.robot import RobotModel
+from ..spatial.batched import mm, mv
 from .minv import minv
 from .rnea import rnea
 from .rnea_grad import rnea_grad
@@ -22,7 +23,7 @@ def forward_dynamics(model: RobotModel, q, qd, u, gravity: float = -9.81,
     """qdd = M^-1 (u - C(q, qd)): (..., nq), (..., nv), (..., nv) -> (..., nv)."""
     c, _, _, _ = rnea(model, q, qd, None, gravity, f_ext)
     Mi = minv(model, q)
-    return jnp.einsum("...ij,...j->...i", Mi, u - c)
+    return mv(Mi, u - c)
 
 
 def forward_dynamics_grad(model: RobotModel, q, qd, u, gravity: float = -9.81):
@@ -40,8 +41,8 @@ def forward_dynamics_full(model: RobotModel, q, qd, u, gravity: float = -9.81):
     """
     c, _, _, _ = rnea(model, q, qd, None, gravity)
     Mi = minv(model, q)
-    qdd = jnp.einsum("...ij,...j->...i", Mi, u - c)
+    qdd = mv(Mi, u - c)
     dc_dq, dc_dqd = rnea_grad(model, q, qd, qdd, gravity, split=True)
-    dqdd_dq = -jnp.einsum("...ij,...jk->...ik", Mi, dc_dq)
-    dqdd_dqd = -jnp.einsum("...ij,...jk->...ik", Mi, dc_dqd)
+    dqdd_dq = -mm(Mi, dc_dq)
+    dqdd_dqd = -mm(Mi, dc_dqd)
     return qdd, Mi, dqdd_dq, dqdd_dqd

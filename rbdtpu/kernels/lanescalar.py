@@ -1,0 +1,239 @@
+"""Lane-scalar algebra: the register-level representation used by the fused
+Pallas kernels.
+
+Idea: a Pallas kernel processes a tile of T robot states at once.  Every
+per-state scalar quantity (one entry of a spatial vector, one entry of a 6x6
+transform) is an (8, T/8) float32 array — a batch of T lane-resident values
+filling full VPU registers (8 sublanes x 128 lanes per vreg).  A spatial
+vector is a python list of 6 such "scalars"; a 6x6 matrix is a 6x6 nested
+list.  All algebra below is written entry-wise, exactly like the reference's
+scalar-expanded L1 kernels (``mx1..mx6`` RBDReference.py:56-147, ``fxv``
+:149-164), but each "scalar" op is one full-width VPU instruction over the
+batch.
+
+Because model constants (Xtree, inertia, joint axes) enter as PYTHON floats,
+JAX constant-folds them at trace time: multiplications by structural zeros
+vanish, so each joint's transform build specializes to its axis — the traced
+kernel is model-specialized code, the TPU analog of robot-specific codegen.
+
+Everything here is plain jnp on (8, T/8) arrays — usable both inside
+pallas_call kernels and in ordinary jit code (the fallback path).
+"""
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+# ----------------------------------------------------------------------- #
+# scalars: (8, L) jnp arrays OR python floats (static constants)          #
+# ----------------------------------------------------------------------- #
+
+def is_static(x) -> bool:
+    return isinstance(x, (int, float))
+
+
+def vec6(fill=0.0):
+    return [fill] * 6
+
+
+def mat66(fill=0.0):
+    return [[fill] * 6 for _ in range(6)]
+
+
+def mat_from_static(M) -> list:
+    """6x6 nested list of python floats from an array-like (host constant)."""
+    return [[float(M[i][j]) for j in range(6)] for i in range(6)]
+
+
+def _add(a, b):
+    if is_static(a) and a == 0.0:
+        return b
+    if is_static(b) and b == 0.0:
+        return a
+    return a + b
+
+
+def _mul(a, b):
+    if (is_static(a) and a == 0.0) or (is_static(b) and b == 0.0):
+        return 0.0
+    if is_static(a) and a == 1.0:
+        return b
+    if is_static(b) and b == 1.0:
+        return a
+    return a * b
+
+
+def dot(u, v):
+    """Inner product of two vec6."""
+    acc = 0.0
+    for a, b in zip(u, v):
+        acc = _add(acc, _mul(a, b))
+    return acc
+
+
+def axpy(alpha, u, v):
+    """alpha*u + v entry-wise (alpha scalar)."""
+    return [_add(_mul(alpha, a), b) for a, b in zip(u, v)]
+
+
+def vadd(u, v):
+    return [_add(a, b) for a, b in zip(u, v)]
+
+
+def vsub(u, v):
+    return [_add(a, _mul(-1.0, b)) for a, b in zip(u, v)]
+
+
+def vscale(alpha, u):
+    return [_mul(alpha, a) for a in u]
+
+
+def matvec(M, v):
+    """M @ v for 6x6 nested-list M and vec6 v."""
+    return [dot(row, v) for row in M]
+
+
+def matvec_T(M, v):
+    """M^T @ v."""
+    return [dot([M[j][i] for j in range(6)], v) for i in range(6)]
+
+
+def matmat(A, B):
+    """A @ B for nested lists (any compatible static sizes)."""
+    n, m, p = len(A), len(B), len(B[0])
+    out = [[0.0] * p for _ in range(n)]
+    for i in range(n):
+        for j in range(p):
+            acc = 0.0
+            for k in range(m):
+                acc = _add(acc, _mul(A[i][k], B[k][j]))
+            out[i][j] = acc
+    return out
+
+
+def matmat_TA(A, B):
+    """A^T @ B."""
+    n = len(A[0])
+    p = len(B[0])
+    out = [[0.0] * p for _ in range(n)]
+    for i in range(n):
+        for j in range(p):
+            acc = 0.0
+            for k in range(len(A)):
+                acc = _add(acc, _mul(A[k][i], B[k][j]))
+            out[i][j] = acc
+    return out
+
+
+def outer_vv(u, v):
+    return [[_mul(a, b) for b in v] for a in u]
+
+
+def mat_add(A, B):
+    return [[_add(a, b) for a, b in zip(ra, rb)] for ra, rb in zip(A, B)]
+
+
+def mat_sub(A, B):
+    return [[_add(a, _mul(-1.0, b)) for a, b in zip(ra, rb)]
+            for ra, rb in zip(A, B)]
+
+
+def mat_scale(alpha, A):
+    return [[_mul(alpha, a) for a in row] for row in A]
+
+
+def xtax(X, A):
+    """X^T @ A @ X."""
+    return matmat_TA(X, matmat(A, X))
+
+
+# ----------------------------------------------------------------------- #
+# spatial cross products, entry-wise (reference mxS/fxv forms)            #
+# ----------------------------------------------------------------------- #
+
+def cross_motion(v, m):
+    """v x m for motion vectors (crm(v) @ m)."""
+    w0, w1, w2, l0, l1, l2 = v
+    m0, m1, m2, m3, m4, m5 = m
+    return [
+        _add(_mul(w1, m2), _mul(-1.0, _mul(w2, m1))),
+        _add(_mul(w2, m0), _mul(-1.0, _mul(w0, m2))),
+        _add(_mul(w0, m1), _mul(-1.0, _mul(w1, m0))),
+        _add(_add(_mul(l1, m2), _mul(-1.0, _mul(l2, m1))),
+             _add(_mul(w1, m5), _mul(-1.0, _mul(w2, m4)))),
+        _add(_add(_mul(l2, m0), _mul(-1.0, _mul(l0, m2))),
+             _add(_mul(w2, m3), _mul(-1.0, _mul(w0, m5)))),
+        _add(_add(_mul(l0, m1), _mul(-1.0, _mul(l1, m0))),
+             _add(_mul(w0, m4), _mul(-1.0, _mul(w1, m3)))),
+    ]
+
+
+def cross_force(v, f):
+    """v x* f for motion v, force f (crf(v) @ f)."""
+    w0, w1, w2, l0, l1, l2 = v
+    n0, n1, n2, f0, f1, f2 = f
+    return [
+        _add(_add(_mul(w1, n2), _mul(-1.0, _mul(w2, n1))),
+             _add(_mul(l1, f2), _mul(-1.0, _mul(l2, f1)))),
+        _add(_add(_mul(w2, n0), _mul(-1.0, _mul(w0, n2))),
+             _add(_mul(l2, f0), _mul(-1.0, _mul(l0, f2)))),
+        _add(_add(_mul(w0, n1), _mul(-1.0, _mul(w1, n0))),
+             _add(_mul(l0, f1), _mul(-1.0, _mul(l1, f0)))),
+        _add(_mul(w1, f2), _mul(-1.0, _mul(w2, f1))),
+        _add(_mul(w2, f0), _mul(-1.0, _mul(w0, f2))),
+        _add(_mul(w0, f1), _mul(-1.0, _mul(w1, f0))),
+    ]
+
+
+# ----------------------------------------------------------------------- #
+# joint transform build: X = XJ(q) @ Xtree with static Xtree/axis          #
+# ----------------------------------------------------------------------- #
+
+def rot3_coord(axis, s, c):
+    """Coordinate rotation E = R(axis, q)^T as a 3x3 nested list with entries
+    affine in the lane-scalars s=sin q, c=cos q and STATIC axis coefficients:
+    R = I + s K + (1-c) K^2  =>  E = R^T = I - s K + (1-c) K^2."""
+    ax, ay, az = (float(axis[0]), float(axis[1]), float(axis[2]))
+    K = [[0.0, -az, ay], [az, 0.0, -ax], [-ay, ax, 0.0]]
+    K2 = [[sum(K[i][k] * K[k][j] for k in range(3)) for j in range(3)]
+          for i in range(3)]
+    E = [[0.0] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(3):
+            e = 1.0 if i == j else 0.0
+            # e - s*K[i][j] + (1-c)*K2[i][j]; fold static zeros
+            if K[i][j] != 0.0:
+                e = _add(e, _mul(-K[i][j], s))
+            if K2[i][j] != 0.0:
+                e = _add(e, _mul(K2[i][j], _add(1.0, _mul(-1.0, c))))
+            E[i][j] = e
+    return E
+
+
+def revolute_x(axis, Xtree_static, s, c):
+    """Spatial transform X = XJ_rev(q) @ Xtree for a revolute joint:
+    XJ = blockdiag(E, E)."""
+    E = rot3_coord(axis, s, c)
+    XJ = mat66(0.0)
+    for i in range(3):
+        for j in range(3):
+            XJ[i][j] = E[i][j]
+            XJ[3 + i][3 + j] = E[i][j]
+    return matmat(XJ, Xtree_static)
+
+
+def prismatic_x(axis, Xtree_static, q):
+    """X = XJ_pris(q) @ Xtree: XJ = [[I,0],[-skew(axis q), I]]."""
+    ax, ay, az = (float(axis[0]), float(axis[1]), float(axis[2]))
+    XJ = mat66(0.0)
+    for i in range(6):
+        XJ[i][i] = 1.0
+    # -skew(axis*q) into lower-left
+    XJ[3][1] = _mul(az, q)
+    XJ[3][2] = _mul(-ay, q)
+    XJ[4][0] = _mul(-az, q)
+    XJ[4][2] = _mul(ax, q)
+    XJ[5][0] = _mul(ay, q)
+    XJ[5][1] = _mul(-ax, q)
+    return matmat(XJ, Xtree_static)

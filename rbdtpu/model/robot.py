@@ -48,6 +48,10 @@ class RobotModel:
     fixed_frame_names: Tuple[str, ...] = dataclasses.field(metadata=dict(static=True))
     fixed_frame_parent: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     name: str = dataclasses.field(default="robot", metadata=dict(static=True))
+    # host-side copy of the numeric model data as nested tuples (hashable,
+    # survives pytree reconstruction under jit/scan closure lifting) — the
+    # source the fused kernels fold into model-specialized code
+    host_data: tuple = dataclasses.field(default=(), metadata=dict(static=True))
 
     # ------------------------------------------------------------------ #
     # Sizes and index maps (reference: get_num_bodies/joints/vel,        #
@@ -192,6 +196,20 @@ def make_model(
     if damping is None:
         damping = jnp.zeros((nb,), dtype)
     asarr = lambda x: jnp.asarray(x, dtype)
+
+    def _tup(x):
+        a = np.asarray(x, dtype=np.float64)
+        if a.ndim == 1:
+            return tuple(float(v) for v in a)
+        return tuple(_tup(row) for row in a)
+
+    host_data = (
+        ("Xtree", _tup(Xtree)),
+        ("axis", _tup(axis)),
+        ("S", _tup(S)),
+        ("I", _tup(I)),
+        ("damping", _tup(np.asarray(damping, dtype=np.float64))),
+    )
     return RobotModel(
         Xtree=asarr(Xtree),
         Ttree=asarr(Ttree),
@@ -208,4 +226,5 @@ def make_model(
         fixed_frame_names=tuple(fixed_frame_names),
         fixed_frame_parent=tuple(int(p) for p in fixed_frame_parent),
         name=name,
+        host_data=host_data,
     )

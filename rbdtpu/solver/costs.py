@@ -1,50 +1,76 @@
 """Cost models for trajectory optimization.
 
-Costs are plain callables ``stage(x, u, t) -> scalar`` / ``terminal(x) ->
-scalar``; the solver quadratizes them with forward-mode AD (exact, fused by
-XLA).  Two ready-made costs cover the benchmark configs (BASELINE.json):
-quadratic state tracking and end-effector reaching through the analytic FK of
-kinematics/fk.py.
+Costs are BATCH-CLOSED callables ``stage(x, u, t) -> scalar-per-state`` /
+``terminal(x) -> scalar-per-state`` operating on arbitrary leading batch dims
+(the solver is natively batched).  When a cost supplies analytic
+quadratizations (``stage_derivs`` / ``terminal_derivs``) the solver uses them;
+otherwise it falls back to forward-mode AD (exact but ~5x the linearization
+cost when FK sits inside the cost).  The built-in costs cover the benchmark
+configs (BASELINE.json): quadratic state tracking (exact derivatives) and
+end-effector reaching through the analytic FK Jacobian of kinematics/fk.py
+(Gauss-Newton quadratization — standard iLQR practice).
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..model.robot import RobotModel
-from ..kinematics.fk import ee_pose
-from .integrate import split_state
+from ..kinematics.fk import ee_pose, ee_pose_gradient
+from ..spatial.batched import mtv, mtm
 
 
 @dataclasses.dataclass(frozen=True)
 class Cost:
-    stage: Callable  # (x, u, t) -> scalar
-    terminal: Callable  # (x,) -> scalar
+    stage: Callable  # (x, u, t) -> (...) cost per state
+    terminal: Callable  # (x,) -> (...)
+    stage_derivs: Optional[Callable] = None  # (x,u,t)->(lx,lu,lxx,luu,lux)
+    terminal_derivs: Optional[Callable] = None  # (x,)->(lfx,lfxx)
+
+
+def _sq(v):
+    return (v * v).sum(-1)
 
 
 def quadratic_tracking_cost(
     model: RobotModel, x_goal, *, w_q=1.0, w_qd=0.1, w_u=1e-4,
     w_q_f=100.0, w_qd_f=10.0,
 ) -> Cost:
-    """0.5 * weighted quadratic distance to a goal state, plus control effort."""
+    """0.5 * weighted quadratic distance to a goal state, plus control effort.
+    Exact analytic quadratization."""
     x_goal = jnp.asarray(x_goal)
+    nq, nv = model.nq, model.nv
+    nx = nq + nv
+    W = jnp.concatenate([jnp.full(nq, w_q), jnp.full(nv, w_qd)])
+    Wf = jnp.concatenate([jnp.full(nq, w_q_f), jnp.full(nv, w_qd_f)])
 
     def stage(x, u, t):
-        dq = x[: model.nq] - x_goal[: model.nq]
-        dqd = x[model.nq :] - x_goal[model.nq :]
-        return 0.5 * (
-            w_q * dq @ dq + w_qd * dqd @ dqd + w_u * u @ u
-        )
+        d = x - x_goal
+        return 0.5 * ((W * d * d).sum(-1) + w_u * _sq(u))
 
     def terminal(x):
-        dq = x[: model.nq] - x_goal[: model.nq]
-        dqd = x[model.nq :] - x_goal[model.nq :]
-        return 0.5 * (w_q_f * dq @ dq + w_qd_f * dqd @ dqd)
+        d = x - x_goal
+        return 0.5 * (Wf * d * d).sum(-1)
 
-    return Cost(stage, terminal)
+    def stage_derivs(x, u, t):
+        batch = x.shape[:-1]
+        d = x - x_goal
+        lx = W * d
+        lu = w_u * u
+        lxx = jnp.broadcast_to(jnp.diag(W), batch + (nx, nx))
+        luu = jnp.broadcast_to(w_u * jnp.eye(nv), batch + (nv, nv))
+        lux = jnp.zeros(batch + (nv, nx), x.dtype)
+        return lx, lu, lxx, luu, lux
+
+    def terminal_derivs(x):
+        batch = x.shape[:-1]
+        d = x - x_goal
+        return Wf * d, jnp.broadcast_to(jnp.diag(Wf), batch + (nx, nx))
+
+    return Cost(stage, terminal, stage_derivs, terminal_derivs)
 
 
 def ee_reaching_cost(
@@ -52,43 +78,96 @@ def ee_reaching_cost(
     w_ee_f=100.0, w_qd_f=1.0, ee_names=None,
 ) -> Cost:
     """Reach a Cartesian end-effector target (the iiwa reaching task of
-    BASELINE.json configs[2]); uses the analytic FK (C11) inside the cost."""
+    BASELINE.json configs[2]); uses the analytic FK (C11) inside the cost and
+    the analytic FK Jacobian (C12) for the Gauss-Newton quadratization."""
     target_xyz = jnp.asarray(target_xyz)
+    nq, nv = model.nq, model.nv
+    nx = nq + nv
 
     def ee_err(x):
-        q, _ = split_state(model, x)
+        q = x[..., :nq]
         pos = ee_pose(model, q, ee_names=ee_names)[..., 0, :3]
         return pos - target_xyz
 
     def stage(x, u, t):
         e = ee_err(x)
-        qd = x[model.nq :]
-        return 0.5 * (w_ee * e @ e + w_qd * qd @ qd + w_u * u @ u)
+        qd = x[..., nq:]
+        return 0.5 * (w_ee * _sq(e) + w_qd * _sq(qd) + w_u * _sq(u))
 
     def terminal(x):
         e = ee_err(x)
-        qd = x[model.nq :]
-        return 0.5 * (w_ee_f * e @ e + w_qd_f * qd @ qd)
+        qd = x[..., nq:]
+        return 0.5 * (w_ee_f * _sq(e) + w_qd_f * _sq(qd))
 
-    return Cost(stage, terminal)
+    def _ee_terms(x, w):
+        """Gauss-Newton terms of 0.5*w*||e(q)||^2: grad = w J^T e,
+        hess ~= w J^T J through the analytic FK Jacobian."""
+        q = x[..., :nq]
+        e = ee_err(x)
+        J = ee_pose_gradient(model, q, ee_names=ee_names)[..., 0, :3, :]
+        return w * mtv(J, e), w * mtm(J, J)
+
+    def _assemble(g_q, H_qq, g_qd, w_qd_blk, x):
+        batch = x.shape[:-1]
+        lx = jnp.concatenate([g_q, g_qd], axis=-1)
+        top = jnp.concatenate(
+            [H_qq, jnp.zeros(batch + (nq, nv), x.dtype)], axis=-1
+        )
+        bot = jnp.concatenate(
+            [jnp.zeros(batch + (nv, nq), x.dtype),
+             jnp.broadcast_to(w_qd_blk * jnp.eye(nv), batch + (nv, nv))],
+            axis=-1,
+        )
+        lxx = jnp.concatenate([top, bot], axis=-2)
+        return lx, lxx
+
+    def stage_derivs(x, u, t):
+        batch = x.shape[:-1]
+        g_q, H_qq = _ee_terms(x, w_ee)
+        lx, lxx = _assemble(g_q, H_qq, w_qd * x[..., nq:], w_qd, x)
+        lu = w_u * u
+        luu = jnp.broadcast_to(w_u * jnp.eye(nv), batch + (nv, nv))
+        lux = jnp.zeros(batch + (nv, nx), x.dtype)
+        return lx, lu, lxx, luu, lux
+
+    def terminal_derivs(x):
+        g_q, H_qq = _ee_terms(x, w_ee_f)
+        return _assemble(g_q, H_qq, w_qd_f * x[..., nq:], w_qd_f, x)
+
+    return Cost(stage, terminal, stage_derivs, terminal_derivs)
 
 
 def trajectory_cost(cost: Cost, X, U):
-    """Total cost of a trajectory: X (H+1, nx), U (H, nv) -> scalar."""
+    """Total cost: X (..., H+1, nx), U (..., H, nv) -> (...).  Batch-closed."""
     H = U.shape[-2]
     ts = jnp.arange(H)
-    stage_costs = jax.vmap(cost.stage)(X[..., :-1, :], U, ts)
-    return jnp.sum(stage_costs, axis=-1) + cost.terminal(X[..., -1, :])
+    stage_costs = cost.stage(X[..., :-1, :], U, ts)
+    return stage_costs.sum(-1) + cost.terminal(X[..., -1, :])
 
 
 def quadratize_trajectory(cost: Cost, X, U):
-    """Per-knot cost expansions via AD, vmapped across the horizon.
+    """Per-knot cost expansions: analytic forms when the cost provides them,
+    AD otherwise.  Batch-closed on the analytic path; the AD path vmaps over
+    flattened (batch, time).
 
-    Returns (lx, lu, lxx, luu, lux, lfx, lfxx): gradients/Hessians of stage
-    costs at each knot and of the terminal cost.
+    Returns (lx, lu, lxx, luu, lux, lfx, lfxx) with (..., H, ...) stage terms.
     """
     H = U.shape[-2]
     ts = jnp.arange(H)
+    Xs = X[..., :-1, :]
+
+    if cost.stage_derivs is not None and cost.terminal_derivs is not None:
+        lx, lu, lxx, luu, lux = cost.stage_derivs(Xs, U, ts)
+        lfx, lfxx = cost.terminal_derivs(X[..., -1, :])
+        return lx, lu, lxx, luu, lux, lfx, lfxx
+
+    # AD fallback: flatten leading batch dims, vmap over knots
+    batch = U.shape[:-2]
+    nx = X.shape[-1]
+    nu = U.shape[-1]
+    Xf = Xs.reshape((-1, nx))
+    Uf = U.reshape((-1, nu))
+    tf = jnp.broadcast_to(ts, batch + (H,)).reshape((-1,))
 
     gx = jax.vmap(jax.grad(cost.stage, argnums=0))
     gu = jax.vmap(jax.grad(cost.stage, argnums=1))
@@ -96,12 +175,15 @@ def quadratize_trajectory(cost: Cost, X, U):
     huu = jax.vmap(jax.hessian(cost.stage, argnums=1))
     hux = jax.vmap(jax.jacfwd(jax.grad(cost.stage, argnums=1), argnums=0))
 
-    Xs = X[..., :-1, :]
-    lx = gx(Xs, U, ts)
-    lu = gu(Xs, U, ts)
-    lxx = hxx(Xs, U, ts)
-    luu = huu(Xs, U, ts)
-    lux = hux(Xs, U, ts)
-    lfx = jax.grad(cost.terminal)(X[..., -1, :])
-    lfxx = jax.hessian(cost.terminal)(X[..., -1, :])
+    rs = lambda a: a.reshape(batch + (H,) + a.shape[1:])
+    lx = rs(gx(Xf, Uf, tf))
+    lu = rs(gu(Xf, Uf, tf))
+    lxx = rs(hxx(Xf, Uf, tf))
+    luu = rs(huu(Xf, Uf, tf))
+    lux = rs(hux(Xf, Uf, tf))
+    XT = X[..., -1, :].reshape((-1, nx))
+    lfx = jax.vmap(jax.grad(cost.terminal))(XT).reshape(batch + (nx,))
+    lfxx = jax.vmap(jax.hessian(cost.terminal))(XT).reshape(
+        batch + (nx, nx)
+    )
     return lx, lu, lxx, luu, lux, lfx, lfxx

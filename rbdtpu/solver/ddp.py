@@ -3,21 +3,29 @@
 New TPU-first design (the reference has no solver; its gradients exist to feed
 one, RBDReference.py:1347-1351 / SURVEY.md §1 "above L3 sits nothing in-repo"):
 
-  - rollout: lax.scan over the horizon with O(n) ABA steps;
-  - linearization: ONE vmapped batched sweep over all H knots
-    (rnea_grad + Minv per knot — the "fused batched Jacobian kernel feeding the
-    DDP backward sweep" of SURVEY.md C4);
-  - backward Riccati sweep: lax.scan (sequential in H by nature, SURVEY.md §7
-    hard parts) with Levenberg regularization on Quu;
-  - forward pass: ALL line-search step sizes evaluated in parallel (vmap over
-    the alpha ladder — width replaces the serial backtracking loop), the best
-    improving candidate selected with a masked argmax;
-  - failure detection (SURVEY.md §5): non-PD Quu -> regularization backoff;
-    no improving alpha -> keep nominal, raise regularization.
+  - NATIVELY BATCHED: every function takes arbitrary leading batch dims on
+    (x0, U0) and solves all problems in one program — the unit of work is a
+    batch, never a single state (SURVEY.md §7).  vmap still works, but the
+    explicit batch is what lets the fused Pallas rollout kernel engage;
+  - rollout / line-search rollouts: lax.scan over the horizon; with
+    ``DDPConfig.fused=True`` (fixed-base models) each step is ONE fused
+    Pallas kernel (ABA + integrator, kernels.fused);
+  - linearization: ONE batched sweep over all H knots at once (rnea_grad +
+    Minv per knot — the "fused batched Jacobian kernel feeding the DDP
+    backward sweep" of SURVEY.md C4);
+  - backward Riccati sweep: lax.scan over time (sequential by nature,
+    SURVEY.md §7 hard parts), with the UNROLLED batched Cholesky for the Quu
+    solves (jnp.linalg's batched small factorizations lower to loops on TPU
+    and dominated the sweep) and Levenberg regularization;
+  - forward pass: ALL line-search step sizes evaluated in parallel (the
+    alpha ladder is one more batch dim), best improving candidate selected
+    with a masked argmin per problem;
+  - failure detection (SURVEY.md §5): non-PD Quu -> NaN in the unrolled
+    Cholesky -> pd=False -> regularization backoff; no improving alpha ->
+    keep nominal, raise regularization.
 
 Everything is jit-compatible with a FIXED iteration count; convergence is
-handled by masking (no data-dependent Python control flow).  Batched solves =
-``jax.vmap(solve)`` over initial states / goals.
+handled by masking (no data-dependent Python control flow).
 """
 from __future__ import annotations
 
@@ -28,6 +36,9 @@ import jax
 import jax.numpy as jnp
 
 from ..model.robot import RobotModel
+from ..spatial.batched import (
+    mm, mtm, mv, mtv, cholesky_small, cholesky_solve_small,
+)
 from .costs import Cost, trajectory_cost, quadratize_trajectory
 from .rollout import rollout, linearize_trajectory
 from .integrate import split_state, euler_semi_implicit
@@ -46,70 +57,138 @@ class DDPConfig:
     reg_down: float = 0.5
     n_alphas: int = 8  # parallel line-search ladder 1, 1/2, ..., 2^-(n-1)
     tol_dJ: float = 1e-9
+    fused: bool = False  # use the fused Pallas step kernel for rollouts
 
 
 class DDPState(NamedTuple):
-    X: jax.Array  # (H+1, nx) nominal states
-    U: jax.Array  # (H, nv) nominal controls
-    J: jax.Array  # scalar cost
-    reg: jax.Array  # scalar regularization
-    dJ: jax.Array  # last accepted improvement
+    X: jax.Array  # (..., H+1, nx) nominal states
+    U: jax.Array  # (..., H, nv) nominal controls
+    J: jax.Array  # (...) cost
+    reg: jax.Array  # (...) regularization
+    dJ: jax.Array  # (...) last accepted improvement
+
+
+def _step_plain(model, x, u, dt, gravity):
+    q, qd = split_state(model, x)
+    qdd = aba(model, q, qd, u, gravity=gravity)
+    return euler_semi_implicit(model, x, qdd, dt)
+
+
+def _make_step(model, config):
+    if config.fused and not model.floating_base:
+        from ..kernels.fused import fd_step_fused
+
+        def step(x, u):
+            batch = x.shape[:-1]
+            flat = 1
+            for b in batch:
+                flat *= b
+            if flat % 8 == 0:
+                xf = fd_step_fused(
+                    model, x.reshape(flat, x.shape[-1]),
+                    u.reshape(flat, u.shape[-1]), config.dt, config.gravity,
+                )
+                return xf.reshape(x.shape)
+            return _step_plain(model, x, u, config.dt, config.gravity)
+
+        return step
+    return lambda x, u: _step_plain(model, x, u, config.dt, config.gravity)
 
 
 def backward_pass(A, B, lx, lu, lxx, luu, lux, lfx, lfxx, reg):
-    """Riccati sweep (scan, leaf<-root in time).  Returns (k, K, dV1, ok)."""
+    """Riccati sweep over the horizon (axis -3 of A is time when batched?
+    No — time is the LEADING axis after vmovement below).  All args carry
+    arbitrary leading batch dims with time at axis -(rank_of_entry): callers
+    pass (..., H, n, m) tensors; the scan runs over the H axis.
+
+    Returns (k (..., H, nu), K (..., H, nu, nx), dV1 (...), ok (...))."""
     nu = lu.shape[-1]
     eye_u = jnp.eye(nu, dtype=lu.dtype)
 
+    # move time axis to front for the scan: (..., H, ...) -> (H, ..., ...)
+    tmove = lambda x, r: jnp.moveaxis(x, -r, 0)
+    A_t = tmove(A, 3)
+    B_t = tmove(B, 3)
+    lx_t = tmove(lx, 2)
+    lu_t = tmove(lu, 2)
+    lxx_t = tmove(lxx, 3)
+    luu_t = tmove(luu, 3)
+    lux_t = tmove(lux, 3)
+
+    batch = lfx.shape[:-1]
+    reg_b = jnp.broadcast_to(reg, batch)
+
     def step(carry, inp):
         Vx, Vxx, ok = carry
-        A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t = inp
-        Qx = lx_t + A_t.T @ Vx
-        Qu = lu_t + B_t.T @ Vx
-        Qxx = lxx_t + A_t.T @ Vxx @ A_t
-        Quu = luu_t + B_t.T @ Vxx @ B_t
-        Qux = lux_t + B_t.T @ Vxx @ A_t
-        Quu_reg = Quu + reg * eye_u
-        # PD check via Cholesky (checkify-free NaN guard, SURVEY.md §5)
-        L = jnp.linalg.cholesky(Quu_reg)
-        pd = jnp.all(jnp.isfinite(L))
-        k = -jnp.linalg.solve(Quu_reg, Qu)
-        K = -jnp.linalg.solve(Quu_reg, Qux)
-        Vx_new = Qx + K.T @ Quu @ k + K.T @ Qu + Qux.T @ k
-        Vxx_new = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
-        Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
-        dV1 = k @ Qu
+        A_s, B_s, lx_s, lu_s, lxx_s, luu_s, lux_s = inp
+        VxxA = mm(Vxx, A_s)
+        VxxB = mm(Vxx, B_s)
+        Qx = lx_s + mtv(A_s, Vx)
+        Qu = lu_s + mtv(B_s, Vx)
+        Qxx = lxx_s + mtm(A_s, VxxA)
+        Quu = luu_s + mtm(B_s, VxxB)
+        Qux = lux_s + mtm(B_s, VxxA)
+        Quu_reg = Quu + reg_b[..., None, None] * eye_u
+        # PD check + solves via unrolled batched Cholesky: non-PD -> NaN ->
+        # pd False (failure-detection guard, SURVEY.md §5)
+        L = cholesky_small(Quu_reg)
+        pd = jnp.all(jnp.isfinite(L), axis=(-1, -2))
+        k = -cholesky_solve_small(L, Qu)
+        K = -cholesky_solve_small(L, Qux)
+        QuuK = mm(Quu, K)
+        Vx_new = Qx + mtv(K, mv(Quu, k)) + mtv(K, Qu) + mtv(Qux, k)
+        Vxx_new = Qxx + mtm(K, QuuK) + mtm(K, Qux) + mtm(Qux, K)
+        Vxx_new = 0.5 * (Vxx_new + jnp.swapaxes(Vxx_new, -1, -2))
+        dV1 = (k * Qu).sum(-1)
         return (Vx_new, Vxx_new, ok & pd), (k, K, dV1)
 
-    init = (lfx, lfxx, jnp.array(True))
-    inputs = (A, B, lx, lu, lxx, luu, lux)
-    # scan from the end of the horizon backwards
+    init = (lfx, lfxx, jnp.ones(batch, bool))
+    inputs = (A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t)
     rev = lambda t: jnp.flip(t, axis=0)
     (Vx, Vxx, ok), (k, K, dV1) = jax.lax.scan(
         step, init, jax.tree.map(rev, inputs)
     )
-    return rev(k), rev(K), jnp.sum(dV1), ok
+    k = jnp.moveaxis(rev(k), 0, -2)
+    K = jnp.moveaxis(rev(K), 0, -3)
+    return k, K, jnp.sum(dV1, axis=0), ok
 
 
-def forward_pass(model: RobotModel, cost: Cost, X, U, k, K, alphas, dt, gravity):
-    """Closed-loop rollouts for every alpha in the ladder, in parallel.
+def forward_pass(model: RobotModel, cost: Cost, X, U, k, K, alphas, dt,
+                 gravity, step_fn=None):
+    """Closed-loop rollouts for every alpha in the ladder, in parallel, for
+    every problem in the batch.
 
-    Returns (Xs, Us, Js): candidate trajectories (n_alpha, H+1, nx) and costs.
+    X (..., H+1, nx), U/k (..., H, nv), K (..., H, nv, nx), alphas (n_alpha,).
+    Returns (Xs, Us, Js) with a leading n_alpha axis before the batch dims.
     """
-    def one_alpha(alpha):
-        def step(x, inp):
-            X_t, U_t, k_t, K_t = inp
-            u = U_t + alpha * k_t + K_t @ (x - X_t)
-            q, qd = split_state(model, x)
-            qdd = aba(model, q, qd, u, gravity=gravity)
-            x_next = euler_semi_implicit(model, x, qdd, dt)
-            return x_next, (x_next, u)
+    if step_fn is None:
+        step_fn = lambda x, u: _step_plain(model, x, u, dt, gravity)
+    n_alpha = alphas.shape[0]
+    batch = U.shape[:-2]
+    # broadcast against (n_alpha, *batch, nv) control vectors
+    al = alphas.reshape((n_alpha,) + (1,) * (len(batch) + 1))
 
-        _, (X_tail, U_new) = jax.lax.scan(step, X[0], (X[:-1], U, k, K))
-        X_new = jnp.concatenate([X[:1], X_tail], axis=0)
-        return X_new, U_new, trajectory_cost(cost, X_new, U_new)
+    # broadcast everything over the alpha axis
+    bx = lambda x: jnp.broadcast_to(x[None], (n_alpha,) + x.shape)
+    X_b, U_b, k_b, K_b = bx(X), bx(U), bx(k), bx(K)
 
-    return jax.vmap(one_alpha)(alphas)
+    tmove = lambda x, r: jnp.moveaxis(x, -r, 0)
+    inputs = (tmove(X_b[..., :-1, :], 2), tmove(U_b, 2), tmove(k_b, 2),
+              tmove(K_b, 3))
+
+    def step(x, inp):
+        X_t, U_t, k_t, K_t = inp
+        u = U_t + al * k_t + mv(K_t, x - X_t)
+        x_next = step_fn(x, u)
+        return x_next, (x_next, u)
+
+    x0 = X_b[..., 0, :]
+    _, (X_tail, U_new) = jax.lax.scan(step, x0, inputs)
+    X_tail = jnp.moveaxis(X_tail, 0, -2)
+    U_new = jnp.moveaxis(U_new, 0, -2)
+    X_new = jnp.concatenate([X_b[..., 0:1, :], X_tail], axis=-2)
+    Js = trajectory_cost(cost, X_new, U_new)
+    return X_new, U_new, Js
 
 
 def ddp_solve(
@@ -119,17 +198,29 @@ def ddp_solve(
     U0,
     config: DDPConfig = DDPConfig(),
 ):
-    """Solve one trajectory-optimization problem.  Fully jit-able; vmap for
-    batched solves.  Returns the final DDPState."""
+    """Solve trajectory-optimization problem(s): x0 (..., nx), U0 (..., H, nv)
+    with arbitrary (possibly empty) leading batch dims.  Fully jit-able.
+    Returns (DDPState, J_history (iters, ...))."""
     dt, gravity = config.dt, config.gravity
     alphas = 2.0 ** -jnp.arange(config.n_alphas, dtype=x0.dtype)
+    batch = x0.shape[:-1]
+    step_fn = _make_step(model, config)
 
-    X0 = rollout(model, x0, U0, dt, gravity)
+    def roll0(x, U):
+        def step(xc, u):
+            xn = step_fn(xc, u)
+            return xn, xn
+        U_t = jnp.moveaxis(U, -2, 0)
+        _, X_t = jax.lax.scan(step, x, U_t)
+        X = jnp.moveaxis(X_t, 0, -2)
+        return jnp.concatenate([x[..., None, :], X], axis=-2)
+
+    X0 = roll0(x0, U0)
     J0 = trajectory_cost(cost, X0, U0)
     state = DDPState(
         X=X0, U=U0, J=J0,
-        reg=jnp.asarray(config.reg_init, x0.dtype),
-        dJ=jnp.asarray(jnp.inf, x0.dtype),
+        reg=jnp.full(batch, config.reg_init, x0.dtype),
+        dJ=jnp.full(batch, jnp.inf, x0.dtype),
     )
 
     def iteration(state: DDPState, _):
@@ -141,14 +232,27 @@ def ddp_solve(
             A, B, lx, lu, lxx, luu, lux, lfx, lfxx, state.reg
         )
         Xs, Us, Js = forward_pass(
-            model, cost, state.X, state.U, k, K, alphas, dt, gravity
+            model, cost, state.X, state.U, k, K, alphas, dt, gravity, step_fn
         )
-        Js = jnp.where(jnp.isfinite(Js), Js, jnp.inf)
-        best = jnp.argmin(Js)
-        J_best = Js[best]
+        Js = jnp.where(jnp.isfinite(Js), Js, jnp.inf)  # (n_alpha, ...)
+        best = jnp.argmin(Js, axis=0)  # (...)
+        J_best = jnp.min(Js, axis=0)
+
+        def take(arr):
+            idx = best.reshape(
+                (1,) + best.shape + (1,) * (arr.ndim - 1 - best.ndim)
+            )
+            idx = jnp.broadcast_to(idx, (1,) + arr.shape[1:])
+            return jnp.take_along_axis(arr, idx, axis=0)[0]
+
+        X_best = take(Xs)
+        U_best = take(Us)
         improved = ok & (J_best < state.J)
-        X_new = jnp.where(improved, Xs[best], state.X)
-        U_new = jnp.where(improved, Us[best], state.U)
+        sel = lambda c, a, b: jnp.where(
+            c.reshape(c.shape + (1,) * (a.ndim - c.ndim)), a, b
+        )
+        X_new = sel(improved, X_best, state.X)
+        U_new = sel(improved, U_best, state.U)
         J_new = jnp.where(improved, J_best, state.J)
         reg_new = jnp.clip(
             jnp.where(improved, state.reg * config.reg_down,

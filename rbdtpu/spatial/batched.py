@@ -45,3 +45,57 @@ def outer(u, v):
 def xtax(X, A):
     """X^T @ A @ X for (..., j, i), (..., j, k) -> (..., i, i)."""
     return mtm(X, mm(A, X))
+
+
+def cholesky_small(A):
+    """Batched Cholesky of a small SPD matrix with a STATIC trailing size,
+    fully unrolled over the static dim — every op is elementwise over the
+    batch (jnp.linalg.cholesky has no efficient batched lowering for tiny
+    matrices on TPU: it dominates the Riccati sweep if used there).
+
+    A (..., n, n) -> L (..., n, n) lower-triangular with A = L L^T.
+    Entries of non-PD inputs come out NaN (sqrt of negative), which callers
+    use as the PD check.
+    """
+    n = A.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(s)
+            else:
+                L[i][j] = s / L[j][j]
+    zero = jnp.zeros_like(A[..., 0, 0])
+    rows = [
+        jnp.stack([L[i][j] if j <= i else zero for j in range(n)], axis=-1)
+        for i in range(n)
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
+def cholesky_solve_small(L, b):
+    """Solve A x = b given L = cholesky_small(A).  b (..., n) or (..., n, m);
+    unrolled forward/back substitution, elementwise over the batch."""
+    n = L.shape[-1]
+    vec = b.ndim == L.ndim - 1
+    if vec:
+        b = b[..., None]
+    # forward: L y = b
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i, :]
+        for k in range(i):
+            s = s - L[..., i, k, None] * y[k]
+        y[i] = s / L[..., i, i, None]
+    # backward: L^T x = y
+    x = [None] * n
+    for i in range(n - 1, -1, -1):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[..., k, i, None] * x[k]
+        x[i] = s / L[..., i, i, None]
+    out = jnp.stack(x, axis=-2)
+    return out[..., 0] if vec else out

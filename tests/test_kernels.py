@@ -1,0 +1,56 @@
+"""Fused Pallas kernel tests (SURVEY.md §4 item 3: "Pallas kernel == jnp
+reference implementation").  Off-TPU these run in pallas interpret mode with
+identical semantics.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rbdtpu import dynamics as dyn
+from rbdtpu.kernels import rnea_fused, fd_step_fused, rollout_fused
+from rbdtpu.solver import euler_semi_implicit, split_state
+
+B = 16
+
+
+def test_rnea_fused_matches_jnp(arm7, rng):
+    q = jnp.array(rng.uniform(-1, 1, (B, arm7.nq)))
+    qd = jnp.array(rng.uniform(-1, 1, (B, arm7.nv)))
+    qdd = jnp.array(rng.uniform(-1, 1, (B, arm7.nv)))
+    tau_k = rnea_fused(arm7, q, qd, qdd)
+    tau_j = dyn.rnea(arm7, q, qd, qdd)[0]
+    np.testing.assert_allclose(np.asarray(tau_k), np.asarray(tau_j),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_rnea_fused_bias_only(arm7, rng):
+    q = jnp.array(rng.uniform(-1, 1, (B, arm7.nq)))
+    qd = jnp.array(rng.uniform(-1, 1, (B, arm7.nv)))
+    tau_k = rnea_fused(arm7, q, qd)
+    tau_j = dyn.rnea(arm7, q, qd)[0]
+    np.testing.assert_allclose(np.asarray(tau_k), np.asarray(tau_j),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_fd_step_fused_matches_jnp(arm7, rng):
+    dt = 0.01
+    x = jnp.array(rng.uniform(-0.5, 0.5, (B, arm7.nq + arm7.nv)))
+    u = jnp.array(rng.uniform(-1, 1, (B, arm7.nv)))
+    x_k = fd_step_fused(arm7, x, u, dt)
+    q, qd = split_state(arm7, x)
+    qdd = dyn.aba(arm7, q, qd, u)
+    x_j = euler_semi_implicit(arm7, x, qdd, dt)
+    np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_j),
+                               rtol=1e-8, atol=1e-8)
+
+
+def test_rollout_fused_matches_jnp(arm7, rng):
+    from rbdtpu.solver import rollout
+
+    dt, H = 0.01, 5
+    x0 = jnp.array(rng.uniform(-0.3, 0.3, (B, arm7.nq + arm7.nv)))
+    U = jnp.array(rng.uniform(-1, 1, (H, B, arm7.nv)))
+    xf_k = rollout_fused(arm7, x0, U, dt)
+    X_j = rollout(arm7, x0, jnp.moveaxis(U, 0, -2), dt)
+    np.testing.assert_allclose(np.asarray(xf_k), np.asarray(X_j[..., -1, :]),
+                               rtol=1e-6, atol=1e-6)

@@ -111,6 +111,25 @@ def test_mppi_improves(arm7, rng):
     assert np.all(np.diff(h) <= 1e-9)
 
 
+def test_ddp_native_batch_matches_single(arm7, rng):
+    """Explicit leading batch dims solve the same problems as one-at-a-time."""
+    H, Bn = 6, 3
+    cfg = DDPConfig(iters=3, dt=0.02, n_alphas=4)
+    cost = quadratic_tracking_cost(
+        arm7, pack_state(jnp.full(arm7.nq, 0.3), jnp.zeros(arm7.nv))
+    )
+    x0 = jnp.array(rng.uniform(-0.2, 0.2, (Bn, arm7.nq + arm7.nv)))
+    U0 = jnp.zeros((Bn, H, arm7.nv))
+    states, _ = ddp_solve(arm7, cost, x0, U0, cfg)
+    assert states.J.shape == (Bn,)
+    for b in range(Bn):
+        s1, _ = ddp_solve(arm7, cost, x0[b], U0[b], cfg)
+        np.testing.assert_allclose(
+            np.asarray(states.U[b]), np.asarray(s1.U), atol=1e-9
+        )
+        np.testing.assert_allclose(float(states.J[b]), float(s1.J), rtol=1e-9)
+
+
 def test_ddp_solve_is_jittable_and_vmappable(arm7, rng):
     H = 8
     cfg = DDPConfig(iters=3, dt=0.02, n_alphas=4)
