@@ -112,11 +112,13 @@ def bench_mpc_solves(model):
 
     cfg = DDPConfig(iters=iters, dt=0.01, n_alphas=8, fused=True)
     key = jax.random.PRNGKey(0)
-    x0 = 0.05 * jax.random.normal(key, (Bm, model.nq + model.nv), jnp.float32)
-    # gravity-compensation warm start: a zero-torque nominal swings freely and
-    # diverges over a 1 s horizon; holding torques give a sane nominal (the
-    # standard MPC warm start — and exactly what rnea computes)
-    q0 = x0[..., : model.nq]
+    # random start CONFIGURATIONS at rest + gravity-compensation warm start:
+    # the hold-torque nominal is then a stable equilibrium (a zero-torque or
+    # moving nominal physically diverges over the 1 s horizon)
+    q0 = 0.3 * jax.random.normal(key, (Bm, model.nq), jnp.float32)
+    x0 = jnp.concatenate(
+        [q0, jnp.zeros((Bm, model.nv), jnp.float32)], axis=-1
+    )
     zero = jnp.zeros((Bm, model.nv), jnp.float32)
     u_hold = rnea(model, q0, zero, zero)[0]
     U0 = jnp.broadcast_to(u_hold[:, None, :], (Bm, H, model.nv))

@@ -19,7 +19,9 @@ import jax.numpy as jnp
 
 from ..model.robot import RobotModel
 from ..spatial.ops import cross_motion, cross_force
-from ..spatial.batched import mv, mtv, outer, xtax
+from ..spatial.batched import (
+    mv, mtv, outer, xtax, cholesky_small, cholesky_solve_small,
+)
 from .rnea import apply_external_forces, gravity_accel, _joint_vel
 from .xforms import joint_transforms_list
 
@@ -95,7 +97,8 @@ def aba(
             a = mv(Xi, a_l[p]) + c_l[i]
         if model.floating_base and i == 0:
             rhs = u_l[i] - mtv(U_l[i], a)
-            qdd_i = jnp.linalg.solve(d_l[i], rhs[..., None])[..., 0]
+            # SPD articulated root block: unrolled batched Cholesky solve
+            qdd_i = cholesky_solve_small(cholesky_small(d_l[i]), rhs)
             a = a + qdd_i  # S = eye(6)
             qdd_cols[i] = qdd_i
         else:

@@ -23,7 +23,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..model.robot import RobotModel
-from ..spatial.batched import mm, mtm, mv, outer, xtax
+from ..spatial.batched import (
+    mm, mtm, mv, outer, xtax, cholesky_small, cholesky_solve_small,
+)
 from .xforms import joint_transforms_list
 
 
@@ -46,8 +48,13 @@ def minv_bpass(model: RobotModel, Xs):
         p = model.parent[i]
         Xi = Xs[i]
         if model.floating_base and i == 0:
-            # 6-wide root block: U = IA (S=eye), D = S^T U = IA
-            fb_Dinv = jnp.linalg.inv(IA[0])
+            # 6-wide root block: U = IA (S=eye), D = S^T U = IA; the inverse
+            # of the SPD articulated root inertia via the unrolled batched
+            # Cholesky (jnp.linalg.inv of tiny batched matrices lowers badly
+            # on TPU)
+            L0 = cholesky_small(IA[0])
+            eye6 = jnp.broadcast_to(jnp.eye(6, dtype=dt), IA[0].shape)
+            fb_Dinv = cholesky_solve_small(L0, eye6)
             Minv = Minv.at[..., 0:6, 0:6].add(fb_Dinv)
             # Minv[0:6, :] -= fb_Dinv @ (S^T F[0]) ; F[0] is zero outside subtree
             Minv = Minv.at[..., 0:6, :].add(-mm(fb_Dinv, F[0]))

@@ -1,0 +1,53 @@
+"""Model-zoo coverage: all bundled benchmark models (BASELINE.json configs)
+load, expose consistent dynamics, and support the full algorithm surface.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rbdtpu import dynamics as dyn
+from rbdtpu.kinematics import fk
+from rbdtpu.model import load_asset
+
+
+@pytest.fixture(
+    scope="module",
+    params=["arm7", "quadruped12", "humanoid30"],
+)
+def zoo_model(request):
+    fb = request.param != "arm7"
+    return load_asset(request.param, dtype=np.float64, floating_base=fb)
+
+
+def test_model_shapes(zoo_model):
+    m = zoo_model
+    assert m.Xtree.shape == (m.nb, 6, 6)
+    assert m.I.shape == (m.nb, 6, 6)
+    assert m.nv == (m.nb + 5 if m.floating_base else m.nb)
+    # inertia of each body is symmetric PSD
+    I = np.asarray(m.I)
+    np.testing.assert_allclose(I, np.swapaxes(I, -1, -2), atol=1e-9)
+
+
+def test_dynamics_consistency(zoo_model):
+    m = zoo_model
+    rng = np.random.default_rng(1)
+    q = jnp.array(rng.uniform(-0.5, 0.5, m.nq))
+    qd = jnp.array(rng.uniform(-0.5, 0.5, m.nv))
+    tau = jnp.array(rng.uniform(-1, 1, m.nv))
+    qdd = dyn.aba(m, q, qd, tau)
+    tau_back = dyn.rnea(m, q, qd, qdd)[0]
+    np.testing.assert_allclose(np.asarray(tau_back), np.asarray(tau), atol=1e-7)
+    Mi = dyn.minv(m, q)
+    H = dyn.crba(m, q)
+    np.testing.assert_allclose(np.asarray(H @ Mi), np.eye(m.nv), atol=1e-6)
+
+
+def test_fk_runs(zoo_model):
+    m = zoo_model
+    rng = np.random.default_rng(2)
+    q = jnp.array(rng.uniform(-0.5, 0.5, m.nq))
+    pose = fk.ee_pose(m, q)
+    assert pose.shape == (len(m.leaves()), 6)
+    assert np.all(np.isfinite(np.asarray(pose)))
