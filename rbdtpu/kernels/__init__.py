@@ -6,12 +6,16 @@ from .fused import (
     get_static,
     rnea_lane,
     aba_lane,
+    minv_lane,
+    rnea_grad_lane,
     rnea_fused,
     fd_step_fused,
     rollout_fused,
+    linearize_fused,
 )
 
 __all__ = [
     "ModelStatic", "get_static", "rnea_lane", "aba_lane",
-    "rnea_fused", "fd_step_fused", "rollout_fused",
+    "minv_lane", "rnea_grad_lane",
+    "rnea_fused", "fd_step_fused", "rollout_fused", "linearize_fused",
 ]

@@ -164,6 +164,28 @@ def aba_lane(ms: ModelStatic, q, qd, tau, gravity: float = -9.81):
 # pallas wrappers                                                          #
 # ----------------------------------------------------------------------- #
 
+def _pad_batch(B: int) -> int:
+    """Pad the state batch so lane tiles are multiples of 128 (the Mosaic
+    block-shape requirement): B -> multiple of 8*128, unless B/8 already fits
+    in one full-width block."""
+    B8 = ((B + 7) // 8) * 8
+    if B8 // 8 <= 512:
+        return B8  # single full-array block of any width is allowed
+    return ((B8 + 1023) // 1024) * 1024
+
+
+def _pick_lanes(B_pad: int, cap: int = 512) -> int:
+    """Largest lane-block (multiple of 128, or the full width) dividing
+    B_pad//8 and <= cap."""
+    rows = B_pad // 8
+    if rows <= cap:
+        return rows
+    for L in (512, 384, 256, 128):
+        if L <= cap and rows % L == 0:
+            return L
+    return rows  # fall back to one full-width block
+
+
 def _on_tpu() -> bool:
     # device kind covers both the standard "tpu" backend and tunnel/plugin
     # platforms (e.g. "axon") that expose TPU devices under another name
@@ -200,8 +222,16 @@ def rnea_fused(model: RobotModel, q, qd, qdd=None, gravity: float = -9.81,
     B = q.shape[-2]
     if interpret is None:
         interpret = not _on_tpu()
-    L = min(block_lanes, B // 8)
-    nblocks = (B // 8 + L - 1) // L
+    Bp = _pad_batch(B)
+    pad = lambda x: (
+        x if Bp == B else jnp.concatenate(
+            [x, jnp.zeros((Bp - B,) + x.shape[1:], x.dtype)], axis=0)
+    )
+    q, qd = pad(q), pad(qd)
+    if qdd is not None:
+        qdd = pad(qdd)
+    L = _pick_lanes(Bp, block_lanes)
+    nblocks = (Bp // 8) // L
 
     has_qdd = qdd is not None
 
@@ -229,10 +259,10 @@ def rnea_fused(model: RobotModel, q, qd, qdd=None, gravity: float = -9.81,
         grid=(nblocks,),
         in_specs=in_specs,
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((n, 8, B // 8), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, 8, Bp // 8), q.dtype),
         interpret=interpret,
     )(*ins)
-    return _unpack(out, B)
+    return _unpack(out, Bp)[:B]
 
 
 def fd_step_fused(model: RobotModel, x, u, dt: float,
@@ -248,8 +278,13 @@ def fd_step_fused(model: RobotModel, x, u, dt: float,
     B = x.shape[-2]
     if interpret is None:
         interpret = not _on_tpu()
-    L = min(block_lanes, B // 8)
-    nblocks = (B // 8 + L - 1) // L
+    Bp = _pad_batch(B)
+    if Bp != B:
+        padz = lambda t: jnp.concatenate(
+            [t, jnp.zeros((Bp - B,) + t.shape[1:], t.dtype)], axis=0)
+        x, u = padz(x), padz(u)
+    L = _pick_lanes(Bp, block_lanes)
+    nblocks = (Bp // 8) // L
 
     def kernel(x_ref, u_ref, out_ref):
         q_s = [x_ref[i] for i in range(n)]
@@ -270,10 +305,10 @@ def fd_step_fused(model: RobotModel, x, u, dt: float,
         grid=(nblocks,),
         in_specs=[spec_x, spec_u],
         out_specs=spec_x,
-        out_shape=jax.ShapeDtypeStruct((2 * n, 8, B // 8), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((2 * n, 8, Bp // 8), x.dtype),
         interpret=interpret,
     )(_pack(x, 2 * n), _pack(u, n))
-    return _unpack(out, B)
+    return _unpack(out, Bp)[:B]
 
 
 def rollout_fused(model: RobotModel, x0, U, dt: float,
@@ -286,3 +321,264 @@ def rollout_fused(model: RobotModel, x0, U, dt: float,
 
     xf, _ = jax.lax.scan(step, x0, U)
     return xf
+
+
+# ----------------------------------------------------------------------- #
+# fused DDP linearization: (q, qd, u) -> discrete A, B in ONE kernel      #
+# ----------------------------------------------------------------------- #
+
+def minv_lane(ms: ModelStatic, X):
+    """Lane-scalar direct M^-1 (dense, symmetrized).  X: transform list from
+    ``_joint_x``.  The subtree sparsity of the F matrices is enforced FOR FREE
+    by static-zero folding in lanescalar (columns outside a subtree stay
+    python 0.0 and generate no code)."""
+    nb = ms.nb
+    n = nb
+    Minv = [[0.0] * n for _ in range(n)]
+    F = [[ls.vec6(0.0) for _ in range(n)] for _ in range(nb)]
+    IA = [[row[:] for row in ms.I[i]] for i in range(nb)]
+    U = [None] * nb
+    Dinv = [None] * nb
+    for i in range(nb - 1, -1, -1):
+        p = ms.parent[i]
+        S = ms.S[i]
+        Ui = ls.matvec(IA[i], S)
+        Dinv_i = 1.0 / ls.dot(S, Ui)
+        U[i], Dinv[i] = Ui, Dinv_i
+        for c in range(n):
+            sF = ls.dot(S, F[i][c])
+            if not (ls.is_static(sF) and sF == 0.0):
+                Minv[i][c] = ls._add(Minv[i][c], ls._mul(-1.0, Dinv_i * sF))
+        Minv[i][i] = ls._add(Minv[i][i], Dinv_i)
+        if p != -1:
+            for c in range(n):
+                Fic = F[i][c]
+                if not (ls.is_static(Minv[i][c]) and Minv[i][c] == 0.0):
+                    Fic = ls.axpy(Minv[i][c], Ui, Fic)
+                F[i][c] = Fic
+                F[p][c] = ls.vadd(F[p][c], ls.matvec_T(X[i], Fic))
+            Ia = ls.mat_sub(IA[i], ls.mat_scale(Dinv_i, ls.outer_vv(Ui, Ui)))
+            IA[p] = ls.mat_add(IA[p], ls.xtax(X[i], Ia))
+    for i in range(nb):
+        p = ms.parent[i]
+        if p == -1:
+            for c in range(n):
+                F[i][c] = ls.vscale(Minv[i][c], ms.S[i])
+        else:
+            for c in range(n):
+                XF = ls.matvec(X[i], F[p][c])
+                delta = ls._mul(-1.0, ls._mul(Dinv[i], ls.dot(U[i], XF)))
+                Minv[i][c] = ls._add(Minv[i][c], delta)
+                F[i][c] = ls.axpy(Minv[i][c], ms.S[i], XF)
+    # dense symmetrization (upper triangle is authoritative)
+    return [
+        [Minv[i][j] if j >= i else Minv[j][i] for j in range(n)]
+        for i in range(n)
+    ]
+
+
+def _rnea_sweeps_lane(ms: ModelStatic, X, qd, qdd, gravity):
+    """Forward+backward RNEA given precomputed transforms.  Returns
+    (v, a, f_acc, tau): per-body vec6 lists (f accumulated leaf->root)."""
+    nb = ms.nb
+    a_grav = [0.0, 0.0, 0.0, 0.0, 0.0, -gravity]
+    v, a, f = [None] * nb, [None] * nb, [None] * nb
+    for i in range(nb):
+        p = ms.parent[i]
+        vJ = ls.vscale(qd[i], ms.S[i])
+        if p == -1:
+            vi = vJ
+            ai = ls.matvec(X[i], a_grav)
+        else:
+            vi = ls.vadd(ls.matvec(X[i], v[p]), vJ)
+            ai = ls.matvec(X[i], a[p])
+        ai = ls.vadd(ai, ls.cross_motion(vi, vJ))
+        if qdd is not None:
+            ai = ls.vadd(ai, ls.vscale(qdd[i], ms.S[i]))
+        Iv = ls.matvec(ms.I[i], vi)
+        fi = ls.vadd(ls.matvec(ms.I[i], ai), ls.cross_force(vi, Iv))
+        v[i], a[i], f[i] = vi, ai, fi
+    tau = [None] * nb
+    for i in range(nb - 1, -1, -1):
+        p = ms.parent[i]
+        tau[i] = ls.dot(ms.S[i], f[i])
+        if p != -1:
+            f[p] = ls.vadd(f[p], ls.matvec_T(X[i], f[i]))
+    return v, a, f, tau
+
+
+def rnea_grad_lane(ms: ModelStatic, X, qd, v, a, f, gravity):
+    """Lane-scalar analytical RNEA gradient (both fpass+bpass fused).
+    Returns (dc_dq, dc_dqd): n x n nested lists of lane-scalars."""
+    nb = ms.nb
+    n = nb
+    a_grav = [0.0, 0.0, 0.0, 0.0, 0.0, -gravity]
+    zc = lambda: [ls.vec6(0.0) for _ in range(n)]
+    dvq, daq, dfq = [None] * nb, [None] * nb, [None] * nb
+    dvd, dad, dfd = [None] * nb, [None] * nb, [None] * nb
+    for i in range(nb):
+        p = ms.parent[i]
+        S = ms.S[i]
+        Xi = X[i]
+        qd_i = qd[i]
+        if p == -1:
+            dvq_i = zc()
+            daq_b = zc()
+            Xa_ref = ls.matvec(Xi, a_grav)
+            dvd_i = zc()
+            dvd_i[i] = list(S)
+            dad_b = zc()
+        else:
+            dvq_i = [ls.matvec(Xi, dvq[p][c]) for c in range(n)]
+            Xv = ls.matvec(Xi, v[p])
+            dvq_i[i] = ls.vadd(dvq_i[i], ls.cross_motion(Xv, S))
+            daq_b = [ls.matvec(Xi, daq[p][c]) for c in range(n)]
+            Xa_ref = ls.matvec(Xi, a[p])
+            dvd_i = [ls.matvec(Xi, dvd[p][c]) for c in range(n)]
+            dvd_i[i] = ls.vadd(dvd_i[i], list(S))
+            dad_b = [ls.matvec(Xi, dad[p][c]) for c in range(n)]
+        daq_i = [
+            ls.vadd(daq_b[c], ls.vscale(qd_i, ls.cross_motion(dvq_i[c], S)))
+            for c in range(n)
+        ]
+        daq_i[i] = ls.vadd(daq_i[i], ls.cross_motion(Xa_ref, S))
+        dad_i = [
+            ls.vadd(dad_b[c], ls.vscale(qd_i, ls.cross_motion(dvd_i[c], S)))
+            for c in range(n)
+        ]
+        dad_i[i] = ls.vadd(dad_i[i], ls.cross_motion(v[i], S))
+        Iv = ls.matvec(ms.I[i], v[i])
+        mk_df = lambda da_c, dv_c: ls.vadd(
+            ls.vadd(ls.matvec(ms.I[i], da_c), ls.cross_force(dv_c, Iv)),
+            ls.cross_force(v[i], ls.matvec(ms.I[i], dv_c)),
+        )
+        dfq_i = [mk_df(daq_i[c], dvq_i[c]) for c in range(n)]
+        dfd_i = [mk_df(dad_i[c], dvd_i[c]) for c in range(n)]
+        dvq[i], daq[i], dfq[i] = dvq_i, daq_i, dfq_i
+        dvd[i], dad[i], dfd[i] = dvd_i, dad_i, dfd_i
+
+    dcq = [[0.0] * n for _ in range(n)]
+    dcd = [[0.0] * n for _ in range(n)]
+    for i in range(nb - 1, -1, -1):
+        p = ms.parent[i]
+        S = ms.S[i]
+        for c in range(n):
+            dcq[i][c] = ls.dot(S, dfq[i][c])
+            dcd[i][c] = ls.dot(S, dfd[i][c])
+        if p != -1:
+            delta = ls.matvec_T(
+                X[i], ls.vscale(-1.0, ls.cross_motion(f[i], S))
+            )
+            for c in range(n):
+                dfq[p][c] = ls.vadd(dfq[p][c], ls.matvec_T(X[i], dfq[i][c]))
+                dfd[p][c] = ls.vadd(dfd[p][c], ls.matvec_T(X[i], dfd[i][c]))
+            dfq[p][i] = ls.vadd(dfq[p][i], delta)
+    return dcq, dcd
+
+
+def fd_linearize_lane(ms: ModelStatic, q, qd, u, dt: float, gravity: float):
+    """The entire DDP knot linearization in lane-scalars: bias RNEA -> Minv ->
+    qdd -> full RNEA -> analytic gradient -> discrete (A, B) of the
+    semi-implicit Euler step.  Returns (A (2n x 2n), B (2n x n), qdd)."""
+    nb = ms.nb
+    n = nb
+    X = [_joint_x(ms, i, q[i]) for i in range(nb)]
+    # bias force c (qdd = 0)
+    _, _, _, c = _rnea_sweeps_lane(ms, X, qd, None, gravity)
+    Minv = minv_lane(ms, X)
+    # qdd = Minv (u - c)
+    uc = [u[j] - c[j] for j in range(n)]
+    qdd = [
+        ls.dot(Minv[i], uc)
+        for i in range(n)
+    ]
+    # full kinematics + accumulated forces at qdd
+    v, a, f, _ = _rnea_sweeps_lane(ms, X, qd, qdd, gravity)
+    dcq, dcd = rnea_grad_lane(ms, X, qd, v, a, f, gravity)
+    # dqdd_dq = -Minv @ dcq ; dqdd_dqd = -Minv @ dcd
+    neg_mm = lambda M, D: [
+        [
+            ls._mul(-1.0, ls.dot(M[i], [D[k][j] for k in range(n)]))
+            for j in range(n)
+        ]
+        for i in range(n)
+    ]
+    gq = neg_mm(Minv, dcq)
+    gd = neg_mm(Minv, dcd)
+    # discrete A, B (integrate.step_jacobians closed forms)
+    dt2 = dt * dt
+    A = [[0.0] * (2 * n) for _ in range(2 * n)]
+    B = [[0.0] * n for _ in range(2 * n)]
+    for i in range(n):
+        for j in range(n):
+            A[i][j] = ls._add(1.0 if i == j else 0.0, ls._mul(dt2, gq[i][j]))
+            A[i][n + j] = ls._add(
+                dt if i == j else 0.0, ls._mul(dt2, gd[i][j])
+            )
+            A[n + i][j] = ls._mul(dt, gq[i][j])
+            A[n + i][n + j] = ls._add(
+                1.0 if i == j else 0.0, ls._mul(dt, gd[i][j])
+            )
+            B[i][j] = ls._mul(dt2, Minv[i][j])
+            B[n + i][j] = ls._mul(dt, Minv[i][j])
+    return A, B, qdd
+
+
+def linearize_fused(model: RobotModel, q, qd, u, dt: float,
+                    gravity: float = -9.81, block_lanes: int = 256,
+                    interpret: bool | None = None):
+    """Fused DDP linearization: q/qd/u (B, n) -> A (B, 2n, 2n), B (B, 2n, n).
+
+    One pallas kernel per batch tile runs the full pipeline (the "fused
+    batched Jacobian kernel feeding the DDP backward sweep", SURVEY.md C4 /
+    BASELINE.json north star) with zero intermediate HBM traffic.
+    """
+    ms = get_static(model)
+    n = ms.nb
+    B_orig = q.shape[-2]
+    if interpret is None:
+        interpret = not _on_tpu()
+    Bsz = _pad_batch(B_orig)
+    if Bsz != B_orig:
+        padz = lambda t: jnp.concatenate(
+            [t, jnp.zeros((Bsz - B_orig,) + t.shape[1:], t.dtype)], axis=0)
+        q, qd, u = padz(q), padz(qd), padz(u)
+    L = _pick_lanes(Bsz, block_lanes)
+    nblocks = (Bsz // 8) // L
+
+    def kernel(q_ref, qd_ref, u_ref, A_ref, B_ref):
+        q_s = [q_ref[i] for i in range(n)]
+        qd_s = [qd_ref[i] for i in range(n)]
+        u_s = [u_ref[i] for i in range(n)]
+        A, Bm, _ = fd_linearize_lane(ms, q_s, qd_s, u_s, dt, gravity)
+        like = q_s[0]
+        for i in range(2 * n):
+            for j in range(2 * n):
+                x = A[i][j]
+                A_ref[i, j] = jnp.full_like(like, x) if ls.is_static(x) else x
+            for j in range(n):
+                x = Bm[i][j]
+                B_ref[i, j] = jnp.full_like(like, x) if ls.is_static(x) else x
+
+    spec_in = pl.BlockSpec((n, 8, L), lambda b: (0, 0, b),
+                           memory_space=pltpu.VMEM)
+    spec_A = pl.BlockSpec((2 * n, 2 * n, 8, L), lambda b: (0, 0, 0, b),
+                          memory_space=pltpu.VMEM)
+    spec_B = pl.BlockSpec((2 * n, n, 8, L), lambda b: (0, 0, 0, b),
+                          memory_space=pltpu.VMEM)
+    A_pk, B_pk = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[spec_in, spec_in, spec_in],
+        out_specs=(spec_A, spec_B),
+        out_shape=(
+            jax.ShapeDtypeStruct((2 * n, 2 * n, 8, Bsz // 8), q.dtype),
+            jax.ShapeDtypeStruct((2 * n, n, 8, Bsz // 8), q.dtype),
+        ),
+        interpret=interpret,
+    )(_pack(q, n), _pack(qd, n), _pack(u, n))
+    # (r, c, 8, B/8) -> (B, r, c)
+    unpk = lambda t: jnp.transpose(
+        t.reshape(t.shape[0], t.shape[1], Bsz), (2, 0, 1)
+    )[:B_orig]
+    return unpk(A_pk), unpk(B_pk)

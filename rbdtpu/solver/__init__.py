@@ -13,8 +13,10 @@ from .costs import (
 from .ddp import DDPConfig, DDPState, ddp_solve, backward_pass, forward_pass
 from .mppi import MPPIConfig, mppi_step, mppi_solve
 from .mpc import MPCCarry, mpc_step, mpc_run, save_solver_state, load_solver_state
+from .hybrid import hybrid_solve
 
 __all__ = [
+    "hybrid_solve",
     "MPCCarry", "mpc_step", "mpc_run", "save_solver_state", "load_solver_state",
     "pack_state", "split_state", "euler_semi_implicit", "step_jacobians",
     "rollout", "linearize_trajectory",

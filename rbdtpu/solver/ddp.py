@@ -95,6 +95,33 @@ def _make_step(model, config):
     return lambda x, u: _step_plain(model, x, u, config.dt, config.gravity)
 
 
+def _make_linearize(model, config):
+    if config.fused and not model.floating_base:
+        from ..kernels.fused import linearize_fused
+
+        def lin(X, U):
+            q, qd = split_state(model, X[..., :-1, :])
+            lead = q.shape[:-1]
+            flat = 1
+            for b in lead:
+                flat *= b
+            if flat % 8 == 0:
+                A, B = linearize_fused(
+                    model, q.reshape(flat, q.shape[-1]),
+                    qd.reshape(flat, qd.shape[-1]),
+                    U.reshape(flat, U.shape[-1]),
+                    config.dt, config.gravity,
+                )
+                return (A.reshape(lead + A.shape[1:]),
+                        B.reshape(lead + B.shape[1:]))
+            return linearize_trajectory(model, X, U, config.dt, config.gravity)
+
+        return lin
+    return lambda X, U: linearize_trajectory(
+        model, X, U, config.dt, config.gravity
+    )
+
+
 def backward_pass(A, B, lx, lu, lxx, luu, lux, lfx, lfxx, reg):
     """Riccati sweep over the horizon (axis -3 of A is time when batched?
     No — time is the LEADING axis after vmovement below).  All args carry
@@ -205,6 +232,7 @@ def ddp_solve(
     alphas = 2.0 ** -jnp.arange(config.n_alphas, dtype=x0.dtype)
     batch = x0.shape[:-1]
     step_fn = _make_step(model, config)
+    lin_fn = _make_linearize(model, config)
 
     def roll0(x, U):
         def step(xc, u):
@@ -224,7 +252,7 @@ def ddp_solve(
     )
 
     def iteration(state: DDPState, _):
-        A, B = linearize_trajectory(model, state.X, state.U, dt, gravity)
+        A, B = lin_fn(state.X, state.U)
         lx, lu, lxx, luu, lux, lfx, lfxx = quadratize_trajectory(
             cost, state.X, state.U
         )

@@ -1,0 +1,37 @@
+"""Sampling + DDP hybrid solve (BASELINE.json configs[4]: humanoid-class
+sampling+DDP hybrid MPC).
+
+MPPI explores globally (thousands of perturbed rollouts, no gradients), then
+DDP refines the best plan locally with exact linearizations — the standard
+hybrid that escapes the local minima a cold-started DDP falls into while
+keeping DDP's terminal precision.
+"""
+from __future__ import annotations
+
+import jax
+
+from ..model.robot import RobotModel
+from .costs import Cost
+from .ddp import DDPConfig, ddp_solve
+from .mppi import MPPIConfig, mppi_solve
+
+
+def hybrid_solve(
+    model: RobotModel,
+    cost: Cost,
+    x0,
+    U0,
+    key,
+    mppi_config: MPPIConfig = MPPIConfig(),
+    ddp_config: DDPConfig = DDPConfig(),
+    mppi_iters: int = 8,
+):
+    """MPPI warm start -> DDP refinement.  Single problem (vmap for batches
+    of problems; the MPPI stage itself is internally batched over samples).
+
+    Returns (DDPState, (mppi_hist, ddp_hist))."""
+    U_warm, mppi_hist = mppi_solve(
+        model, cost, x0, U0, key, iters=mppi_iters, config=mppi_config
+    )
+    state, ddp_hist = ddp_solve(model, cost, x0, U_warm, ddp_config)
+    return state, (mppi_hist, ddp_hist)

@@ -44,6 +44,25 @@ def test_fd_step_fused_matches_jnp(arm7, rng):
                                rtol=1e-8, atol=1e-8)
 
 
+def test_linearize_fused_matches_jnp(arm7, rng):
+    from rbdtpu.kernels import linearize_fused
+    from rbdtpu.solver import linearize_trajectory
+
+    dt = 0.01
+    q = jnp.array(rng.uniform(-0.5, 0.5, (B, arm7.nq)))
+    qd = jnp.array(rng.uniform(-0.5, 0.5, (B, arm7.nv)))
+    u = jnp.array(rng.uniform(-1, 1, (B, arm7.nv)))
+    A_k, B_k = linearize_fused(arm7, q, qd, u, dt)
+    # jnp reference path: one "trajectory" of B independent knots
+    X = jnp.concatenate([q, qd], -1)[:, None, :]
+    X2 = jnp.concatenate([X, X], axis=1)  # (B, 2, nx): knot + dummy terminal
+    A_j, B_j = linearize_trajectory(arm7, X2, u[:, None, :], dt)
+    np.testing.assert_allclose(np.asarray(A_k), np.asarray(A_j[:, 0]),
+                               rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(B_k), np.asarray(B_j[:, 0]),
+                               rtol=1e-7, atol=1e-8)
+
+
 def test_rollout_fused_matches_jnp(arm7, rng):
     from rbdtpu.solver import rollout
 
