@@ -138,6 +138,85 @@ def bench_mpc_solves(model):
     return Bm / best
 
 
+def bench_quadruped_mpc():
+    """BASELINE.json configs[3]: quadruped (12-DoF + floating base)
+    multi-scenario MPC, 1024 scenarios batched on one chip."""
+    from rbdtpu.model import load_asset
+    from rbdtpu.solver import DDPConfig, ddp_solve, quadratic_tracking_cost
+    from rbdtpu.dynamics import rnea
+
+    model = load_asset("quadruped12", dtype=np.float32, floating_base=True)
+    Bm, H, iters = 1024, 50, 5
+    key = jax.random.PRNGKey(1)
+    q0 = jnp.zeros((Bm, model.nq), jnp.float32)
+    q0 = q0.at[:, 2].set(0.35)  # stand height
+    q0 = q0 + 0.05 * jax.random.normal(key, q0.shape, jnp.float32)
+    zero = jnp.zeros((Bm, model.nv), jnp.float32)
+    x0 = jnp.concatenate([q0, zero], -1)
+    x_goal = jnp.zeros(model.nq + model.nv, jnp.float32).at[2].set(0.4)
+    cost = quadratic_tracking_cost(model, x_goal, w_q=2.0, w_qd=0.05,
+                                   w_u=1e-5)
+    u_hold = rnea(model, q0, zero, zero)[0]
+    U0 = jnp.broadcast_to(u_hold[:, None, :], (Bm, H, model.nv))
+    cfg = DDPConfig(iters=iters, dt=0.01, n_alphas=6)
+    f = jax.jit(lambda x, U: ddp_solve(model, cost, x, U, cfg)[0].J)
+    t0 = time.perf_counter()
+    J = f(x0, U0)
+    J.block_until_ready()
+    log(f"quadruped compile+1: {time.perf_counter()-t0:.1f}s "
+        f"finite_frac={float(jnp.mean(jnp.isfinite(J).astype(jnp.float32))):.3f}")
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        f(x0, U0).block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    log(f"quadruped: {best*1e3:.1f} ms for {Bm} scenarios -> "
+        f"{Bm/best:,.0f} solves/s (H={H}, iters={iters})")
+    return Bm / best
+
+
+def bench_humanoid_hybrid():
+    """BASELINE.json configs[4]: humanoid (~30 DoF + fb) sampling+DDP hybrid."""
+    from rbdtpu.model import load_asset
+    from rbdtpu.solver import (
+        DDPConfig, MPPIConfig, hybrid_solve, quadratic_tracking_cost,
+    )
+    from rbdtpu.dynamics import rnea
+
+    model = load_asset("humanoid30", dtype=np.float32, floating_base=True)
+    Bm, H = 16, 32
+    key = jax.random.PRNGKey(2)
+    q0 = jnp.zeros((Bm, model.nq), jnp.float32).at[:, 2].set(0.9)
+    q0 = q0 + 0.02 * jax.random.normal(key, q0.shape, jnp.float32)
+    zero = jnp.zeros((Bm, model.nv), jnp.float32)
+    x0 = jnp.concatenate([q0, zero], -1)
+    x_goal = jnp.zeros(model.nq + model.nv, jnp.float32).at[2].set(0.95)
+    cost = quadratic_tracking_cost(model, x_goal, w_q=2.0, w_qd=0.05,
+                                   w_u=1e-5)
+    u_hold = rnea(model, q0, zero, zero)[0]
+    U0 = jnp.broadcast_to(u_hold[:, None, :], (Bm, H, model.nv))
+    mcfg = MPPIConfig(n_samples=128, sigma=0.3, dt=0.01)
+    dcfg = DDPConfig(iters=4, dt=0.01, n_alphas=4)
+    keys = jax.random.split(jax.random.PRNGKey(3), Bm)
+    f = jax.jit(jax.vmap(
+        lambda x, U, k: hybrid_solve(model, cost, x, U, k, mcfg, dcfg,
+                                     mppi_iters=4)[0].J
+    ))
+    t0 = time.perf_counter()
+    J = f(x0, U0, keys)
+    J.block_until_ready()
+    log(f"humanoid compile+1: {time.perf_counter()-t0:.1f}s "
+        f"finite_frac={float(jnp.mean(jnp.isfinite(J).astype(jnp.float32))):.3f}")
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        f(x0, U0, keys).block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    log(f"humanoid hybrid: {best*1e3:.1f} ms for {Bm} solves -> "
+        f"{Bm/best:,.1f} solves/s (H={H}, MPPI 4x128 + DDP 4)")
+    return Bm / best
+
+
 def main():
     import os
     from rbdtpu.model import load_asset
@@ -155,6 +234,14 @@ def main():
     }
     if os.environ.get("RBDTPU_BENCH_MPC") == "1":
         result["mpc_solves_per_s_H100"] = round(bench_mpc_solves(model))
+    if os.environ.get("RBDTPU_BENCH_QUADRUPED") == "1":
+        result["quadruped_1024scen_solves_per_s"] = round(
+            bench_quadruped_mpc()
+        )
+    if os.environ.get("RBDTPU_BENCH_HUMANOID") == "1":
+        result["humanoid_hybrid_solves_per_s"] = round(
+            bench_humanoid_hybrid(), 1
+        )
     print(json.dumps(result), flush=True)
 
 
