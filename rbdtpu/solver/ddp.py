@@ -58,6 +58,9 @@ class DDPConfig:
     n_alphas: int = 8  # parallel line-search ladder 1, 1/2, ..., 2^-(n-1)
     tol_dJ: float = 1e-9
     fused: bool = False  # use the fused Pallas step kernel for rollouts
+    # O(log H) associative-scan Riccati (solver.parallel_riccati) instead of
+    # the sequential scan — exact-regularization convention
+    parallel_riccati: bool = False
 
 
 class DDPState(NamedTuple):
@@ -256,9 +259,16 @@ def ddp_solve(
         lx, lu, lxx, luu, lux, lfx, lfxx = quadratize_trajectory(
             cost, state.X, state.U
         )
-        k, K, dV1, ok = backward_pass(
-            A, B, lx, lu, lxx, luu, lux, lfx, lfxx, state.reg
-        )
+        if config.parallel_riccati:
+            from .parallel_riccati import backward_pass_parallel
+
+            k, K, dV1, ok = backward_pass_parallel(
+                A, B, lx, lu, lxx, luu, lux, lfx, lfxx, state.reg
+            )
+        else:
+            k, K, dV1, ok = backward_pass(
+                A, B, lx, lu, lxx, luu, lux, lfx, lfxx, state.reg
+            )
         Xs, Us, Js = forward_pass(
             model, cost, state.X, state.U, k, K, alphas, dt, gravity, step_fn
         )

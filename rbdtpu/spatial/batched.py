@@ -76,6 +76,40 @@ def cholesky_small(A):
     return jnp.stack(rows, axis=-2)
 
 
+def solve_small(A, b):
+    """Batched solve of a small GENERAL system with a STATIC trailing size,
+    via fully unrolled Gaussian elimination (no pivoting — intended for
+    well-conditioned matrices like I + PSD·PSD products in the parallel
+    Riccati combine).  A (..., n, n), b (..., n) or (..., n, m)."""
+    n = A.shape[-1]
+    vec = b.ndim == A.ndim - 1
+    if vec:
+        b = b[..., None]
+    # forward elimination on row lists
+    rows = [[A[..., i, j] for j in range(n)] for i in range(n)]
+    rhs = [b[..., i, :] for i in range(n)]
+    for k in range(n):
+        piv = rows[k][k]
+        inv = 1.0 / piv
+        for j in range(k + 1, n):
+            rows[k][j] = rows[k][j] * inv
+        rhs[k] = rhs[k] * inv[..., None]
+        for i in range(k + 1, n):
+            f = rows[i][k]
+            for j in range(k + 1, n):
+                rows[i][j] = rows[i][j] - f * rows[k][j]
+            rhs[i] = rhs[i] - f[..., None] * rhs[k]
+    # back substitution
+    x = [None] * n
+    for i in range(n - 1, -1, -1):
+        s = rhs[i]
+        for j in range(i + 1, n):
+            s = s - rows[i][j][..., None] * x[j]
+        x[i] = s
+    out = jnp.stack(x, axis=-2)
+    return out[..., 0] if vec else out
+
+
 def cholesky_solve_small(L, b):
     """Solve A x = b given L = cholesky_small(A).  b (..., n) or (..., n, m);
     unrolled forward/back substitution, elementwise over the batch."""
