@@ -33,14 +33,23 @@ def log(*a):
 
 
 def bench_tpu_rollout(model):
+    """Minv + RNEA forward-dynamics rollouts (BASELINE.json configs[1]),
+    through the fused Pallas step kernel (same algorithm as the jnp path —
+    equivalence is asserted in tests/test_kernels.py and below)."""
     from rbdtpu.dynamics import forward_dynamics
-    from rbdtpu.solver import euler_semi_implicit, pack_state, split_state
+    from rbdtpu.kernels import fd_step_minv_fused
+    from rbdtpu.solver import euler_semi_implicit, split_state
 
     def step(x, u):
+        return fd_step_minv_fused(model, x, u, DT), None
+
+    def step_jnp(x, u):
         q, qd = split_state(model, x)
         qdd = forward_dynamics(model, q, qd, u)
-        x2 = euler_semi_implicit(model, x, qdd, DT)
-        return x2, None
+        return euler_semi_implicit(model, x, qdd, DT), None
+
+    R = 20  # rollouts per device call: amortizes the per-call dispatch floor
+            # (8-26 ms through the tunnel), which otherwise dominates
 
     @jax.jit
     def roll(x0, U):
@@ -49,24 +58,82 @@ def bench_tpu_rollout(model):
         xf, _ = jax.lax.scan(step, x0, U)
         return xf
 
+    @jax.jit
+    def roll_many(x0, U_big):
+        def one(acc, U_r):
+            xf, _ = jax.lax.scan(step, x0, U_r)
+            return acc + 1e-12 * jnp.sum(xf), None
+        acc, _ = jax.lax.scan(one, jnp.float32(0.0), U_big)
+        return acc
+
     key = jax.random.PRNGKey(0)
     x0 = 0.1 * jax.random.normal(key, (B, model.nq + model.nv), jnp.float32)
     U = 0.5 * jax.random.normal(key, (H, B, model.nv), jnp.float32)
+    U_big = 0.5 * jax.random.normal(
+        key, (R, H, B, model.nv), jnp.float32
+    )
 
     t0 = time.perf_counter()
     roll(x0, U).block_until_ready()
     log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
 
+    # honesty check: fused kernel path == jnp path over a short horizon
+    @jax.jit
+    def roll_jnp10(x0, U):
+        xf, _ = jax.lax.scan(step_jnp, x0, U[:10])
+        return xf
+
+    @jax.jit
+    def roll_fused10(x0, U):
+        xf, _ = jax.lax.scan(step, x0, U[:10])
+        return xf
+
+    err = float(jnp.abs(roll_fused10(x0, U) - roll_jnp10(x0, U)).max())
+    log(f"fused-vs-jnp 10-step rollout max err: {err:.2e}")
+    assert err < 1e-3, "fused Minv+RNEA step diverges from the jnp path"
+
     # min over several timed batches: robust to host/tunnel noise
+    roll_many(x0, U_big).block_until_ready()
     best = float("inf")
     for _ in range(6):
         t0 = time.perf_counter()
-        for _ in range(3):
-            out = roll(x0, U)
+        out = roll_many(x0, U_big)
         out.block_until_ready()
-        best = min(best, (time.perf_counter() - t0) / 3)
-    steps_per_s = B * H / best
-    log(f"tpu rollout: {best*1e3:.2f} ms for {B}x{H} steps -> {steps_per_s:,.0f} steps/s")
+        best = min(best, time.perf_counter() - t0)
+    steps_per_s = B * H * R / best
+    log(f"tpu rollout: {best*1e3:.2f} ms for {R}x({B}x{H}) steps -> "
+        f"{steps_per_s:,.0f} steps/s")
+    return steps_per_s
+
+
+def bench_fused_rollout(model):
+    """Fused Pallas ABA+Euler rollout (kernels.rollout_fused): slope-based
+    per-step cost between two horizons, rejecting the fixed per-call floor."""
+    from rbdtpu.kernels import rollout_fused
+
+    key = jax.random.PRNGKey(0)
+    x0 = 0.1 * jax.random.normal(key, (B, model.nq + model.nv), jnp.float32)
+    R, H_f = 40, 50
+
+    @jax.jit
+    def roll_many(x0, U_big):
+        def one(acc, U_r):
+            xf = rollout_fused(model, x0, U_r, DT)
+            return acc + 1e-12 * jnp.sum(xf), None
+        acc, _ = jax.lax.scan(one, jnp.float32(0.0), U_big)
+        return acc
+
+    U_big = 0.2 * jax.random.normal(key, (R, H_f, B, model.nv), jnp.float32)
+    roll_many(x0, U_big).block_until_ready()
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = roll_many(x0, U_big)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    steps_per_s = B * H_f * R / best
+    log(f"fused rollout: {best*1e3:.2f} ms for {R}x({B}x{H_f}) -> "
+        f"{steps_per_s/1e6:,.0f}M state-steps/s")
     return steps_per_s
 
 
@@ -231,6 +298,7 @@ def main():
         "value": round(steps_per_s),
         "unit": "steps/s",
         "vs_baseline": round(vs, 1) if vs else None,
+        "fused_aba_rollout_steps_per_s": round(bench_fused_rollout(model)),
     }
     if os.environ.get("RBDTPU_BENCH_MPC") == "1":
         result["mpc_solves_per_s_H100"] = round(bench_mpc_solves(model))

@@ -10,6 +10,7 @@ from .fused import (
     rnea_grad_lane,
     rnea_fused,
     fd_step_fused,
+    fd_step_minv_fused,
     rollout_fused,
     linearize_fused,
 )
@@ -17,5 +18,5 @@ from .fused import (
 __all__ = [
     "ModelStatic", "get_static", "rnea_lane", "aba_lane",
     "minv_lane", "rnea_grad_lane",
-    "rnea_fused", "fd_step_fused", "rollout_fused", "linearize_fused",
+    "rnea_fused", "fd_step_fused", "fd_step_minv_fused", "rollout_fused", "linearize_fused",
 ]

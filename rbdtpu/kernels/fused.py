@@ -582,3 +582,51 @@ def linearize_fused(model: RobotModel, q, qd, u, dt: float,
         t.reshape(t.shape[0], t.shape[1], Bsz), (2, 0, 1)
     )[:B_orig]
     return unpk(A_pk), unpk(B_pk)
+
+
+def fd_step_minv_fused(model: RobotModel, x, u, dt: float,
+                       gravity: float = -9.81, block_lanes: int = 512,
+                       interpret: bool | None = None):
+    """Fused forward-dynamics step on the Minv + RNEA route (BASELINE.json
+    configs[1]): bias RNEA -> direct Minv -> qdd = Minv (u - c) -> semi-
+    implicit Euler, all in ONE pallas kernel.  x (B, 2n), u (B, n) -> (B, 2n)."""
+    ms = get_static(model)
+    n = ms.nb
+    B = x.shape[-2]
+    if interpret is None:
+        interpret = not _on_tpu()
+    Bp = _pad_batch(B)
+    if Bp != B:
+        padz = lambda t: jnp.concatenate(
+            [t, jnp.zeros((Bp - B,) + t.shape[1:], t.dtype)], axis=0)
+        x, u = padz(x), padz(u)
+    L = _pick_lanes(Bp, block_lanes)
+    nblocks = (Bp // 8) // L
+
+    def kernel(x_ref, u_ref, out_ref):
+        q_s = [x_ref[i] for i in range(n)]
+        qd_s = [x_ref[n + i] for i in range(n)]
+        u_s = [u_ref[i] for i in range(n)]
+        X = [_joint_x(ms, i, q_s[i]) for i in range(n)]
+        _, _, _, c = _rnea_sweeps_lane(ms, X, qd_s, None, gravity)
+        Minv = minv_lane(ms, X)
+        uc = [u_s[j] - c[j] for j in range(n)]
+        qdd = [ls.dot(Minv[i], uc) for i in range(n)]
+        for i in range(n):
+            qd_new = qd_s[i] + dt * qdd[i]
+            out_ref[n + i] = qd_new
+            out_ref[i] = q_s[i] + dt * qd_new
+
+    spec_x = pl.BlockSpec((2 * n, 8, L), lambda b: (0, 0, b),
+                          memory_space=pltpu.VMEM)
+    spec_u = pl.BlockSpec((n, 8, L), lambda b: (0, 0, b),
+                          memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[spec_x, spec_u],
+        out_specs=spec_x,
+        out_shape=jax.ShapeDtypeStruct((2 * n, 8, Bp // 8), x.dtype),
+        interpret=interpret,
+    )(_pack(x, 2 * n), _pack(u, n))
+    return _unpack(out, Bp)[:B]

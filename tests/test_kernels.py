@@ -63,6 +63,20 @@ def test_linearize_fused_matches_jnp(arm7, rng):
                                rtol=1e-7, atol=1e-8)
 
 
+def test_fd_step_minv_fused_matches_jnp(arm7, rng):
+    from rbdtpu.kernels import fd_step_minv_fused
+
+    dt = 0.01
+    x = jnp.array(rng.uniform(-0.5, 0.5, (B, arm7.nq + arm7.nv)))
+    u = jnp.array(rng.uniform(-1, 1, (B, arm7.nv)))
+    x_k = fd_step_minv_fused(arm7, x, u, dt)
+    q, qd = split_state(arm7, x)
+    qdd = dyn.forward_dynamics(arm7, q, qd, u)
+    x_j = euler_semi_implicit(arm7, x, qdd, dt)
+    np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_j),
+                               rtol=1e-8, atol=1e-8)
+
+
 def test_rollout_fused_matches_jnp(arm7, rng):
     from rbdtpu.solver import rollout
 
