@@ -225,7 +225,7 @@ def bench_quadruped_mpc():
                                    w_u=1e-5)
     u_hold = rnea(model, q0, zero, zero)[0]
     U0 = jnp.broadcast_to(u_hold[:, None, :], (Bm, H, model.nv))
-    cfg = DDPConfig(iters=iters, dt=0.01, n_alphas=6)
+    cfg = DDPConfig(iters=iters, dt=0.01, n_alphas=6, fused=True)
     f = jax.jit(lambda x, U: ddp_solve(model, cost, x, U, cfg)[0].J)
     t0 = time.perf_counter()
     J = f(x0, U0)

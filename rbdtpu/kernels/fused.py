@@ -36,30 +36,38 @@ class ModelStatic:
     (STATIC metadata, so extraction works even when the model's numeric leaves
     are tracers — e.g. closed over inside a lax.scan body)."""
 
-    def __init__(self, parent, jtype, host_data):
+    def __init__(self, parent, jtype, host_data, floating_base=False):
         self.nb = len(parent)
         self.parent = parent
         self.jtype = jtype
+        self.fb = bool(floating_base)
         d = dict(host_data)
         self.axis = [list(a) for a in d["axis"]]
         self.Xtree = [[list(r) for r in X] for X in d["Xtree"]]
         self.I = [[list(r) for r in M] for M in d["I"]]
         self.S = [list(s) for s in d["S"]]
+        self.nq = self.nb + 5 if self.fb else self.nb
+        self.nv = self.nq
+
+    def qi(self, i):
+        """q-list index of 1-DoF joint i (root handled separately for fb)."""
+        return i + 5 if self.fb else i
+
+    vi = qi
 
 
 @functools.lru_cache(maxsize=32)
-def _static_cache(parent, jtype, host_data):
-    return ModelStatic(parent, jtype, host_data)
+def _static_cache(parent, jtype, host_data, fb):
+    return ModelStatic(parent, jtype, host_data, fb)
 
 
 def get_static(model: RobotModel) -> ModelStatic:
-    if model.floating_base:
-        raise ValueError("fused kernels support fixed-base models only")
     if not model.host_data:
         raise ValueError(
             "model has no host_data; rebuild it with rbdtpu.model.make_model"
         )
-    return _static_cache(model.parent, model.joint_type, model.host_data)
+    return _static_cache(model.parent, model.joint_type, model.host_data,
+                         model.floating_base)
 
 
 # ----------------------------------------------------------------------- #
@@ -73,6 +81,25 @@ def _joint_x(ms: ModelStatic, i: int, qi):
     return ls.revolute_x(ms.axis[i], ms.Xtree[i], s, c)
 
 
+def _body_x(ms: ModelStatic, i: int, q):
+    """Transform of body i from the full q scalar list (fb root = 6-DoF
+    rpy+xyz joint, matching spatial.transforms.floating_spatial_x)."""
+    if ms.fb and i == 0:
+        sr, cr = jnp.sin(q[3]), jnp.cos(q[3])
+        sp, cp = jnp.sin(q[4]), jnp.cos(q[4])
+        sy, cy = jnp.sin(q[5]), jnp.cos(q[5])
+        R = ls.rpy_R(sr, cr, sp, cp, sy, cy)
+        return ls.floating_x(ms.Xtree[0], q[0], q[1], q[2], R)
+    return _joint_x(ms, i, q[ms.qi(i)])
+
+
+def _vj(ms: ModelStatic, i: int, u):
+    """Joint-space velocity/acceleration contribution from a full nv list."""
+    if ms.fb and i == 0:
+        return list(u[0:6])
+    return ls.vscale(u[ms.vi(i)], ms.S[i])
+
+
 def rnea_lane(ms: ModelStatic, q, qd, qdd=None, gravity: float = -9.81):
     """Lane-scalar RNEA: q/qd/qdd are lists of n lane-scalars.
     Returns tau (list of n lane-scalars)."""
@@ -81,8 +108,8 @@ def rnea_lane(ms: ModelStatic, q, qd, qdd=None, gravity: float = -9.81):
     X, v, a, f = [None] * nb, [None] * nb, [None] * nb, [None] * nb
     for i in range(nb):
         p = ms.parent[i]
-        Xi = _joint_x(ms, i, q[i])
-        vJ = ls.vscale(qd[i], ms.S[i])
+        Xi = _body_x(ms, i, q)
+        vJ = _vj(ms, i, qd)
         if p == -1:
             vi = vJ
             ai = ls.matvec(Xi, a_grav)
@@ -91,15 +118,19 @@ def rnea_lane(ms: ModelStatic, q, qd, qdd=None, gravity: float = -9.81):
             ai = ls.matvec(Xi, a[p])
         ai = ls.vadd(ai, ls.cross_motion(vi, vJ))
         if qdd is not None:
-            ai = ls.vadd(ai, ls.vscale(qdd[i], ms.S[i]))
+            ai = ls.vadd(ai, _vj(ms, i, qdd))
         Iv = ls.matvec(ms.I[i], vi)
         fi = ls.vadd(ls.matvec(ms.I[i], ai), ls.cross_force(vi, Iv))
         X[i], v[i], a[i], f[i] = Xi, vi, ai, fi
 
-    tau = [None] * nb
+    tau = [None] * (ms.nv)
     for i in range(nb - 1, -1, -1):
         p = ms.parent[i]
-        tau[i] = ls.dot(ms.S[i], f[i])
+        if ms.fb and i == 0:
+            for k in range(6):
+                tau[k] = f[0][k]
+        else:
+            tau[ms.vi(i)] = ls.dot(ms.S[i], f[i])
         if p != -1:
             f[p] = ls.vadd(f[p], ls.matvec_T(X[i], f[i]))
     return tau
@@ -113,8 +144,8 @@ def aba_lane(ms: ModelStatic, q, qd, tau, gravity: float = -9.81):
     IA = [[row[:] for row in ms.I[i]] for i in range(nb)]
     for i in range(nb):
         p = ms.parent[i]
-        Xi = _joint_x(ms, i, q[i])
-        vJ = ls.vscale(qd[i], ms.S[i])
+        Xi = _body_x(ms, i, q)
+        vJ = _vj(ms, i, qd)
         if p == -1:
             vi = vJ
             ci = ls.vec6(0.0)
@@ -128,11 +159,15 @@ def aba_lane(ms: ModelStatic, q, qd, tau, gravity: float = -9.81):
     U, dinv, u_ = [None] * nb, [None] * nb, [None] * nb
     for i in range(nb - 1, -1, -1):
         p = ms.parent[i]
+        if ms.fb and i == 0:
+            # 6-wide root block: handled in sweep 3 via cholesky6
+            u_[i] = [tau[k] - pA[0][k] for k in range(6)]
+            continue
         S = ms.S[i]
         Ui = ls.matvec(IA[i], S)
         di = ls.dot(S, Ui)
         dinv_i = 1.0 / di
-        ui = tau[i] - ls.dot(S, pA[i])
+        ui = tau[ms.vi(i)] - ls.dot(S, pA[i])
         U[i], dinv[i], u_[i] = Ui, dinv_i, ui
         if p != -1:
             Ia = ls.mat_sub(
@@ -145,7 +180,7 @@ def aba_lane(ms: ModelStatic, q, qd, tau, gravity: float = -9.81):
             IA[p] = ls.mat_add(IA[p], ls.xtax(X[i], Ia))
             pA[p] = ls.vadd(pA[p], ls.matvec_T(X[i], pa))
 
-    qdd = [None] * nb
+    qdd = [None] * (ms.nv)
     acc = [None] * nb
     for i in range(nb):
         p = ms.parent[i]
@@ -154,9 +189,19 @@ def aba_lane(ms: ModelStatic, q, qd, tau, gravity: float = -9.81):
         else:
             ai = ls.matvec(X[i], acc[p])
         ai = ls.vadd(ai, cb[i])
-        qdd_i = (u_[i] - ls.dot(U[i], ai)) * dinv[i]
-        acc[i] = ls.vadd(ai, ls.vscale(qdd_i, ms.S[i]))
-        qdd[i] = qdd_i
+        if ms.fb and i == 0:
+            # qdd_root = IA0^{-1} (u - IA0 a) ... with U = D = IA0 (S = eye):
+            # rhs = u - IA0 @ a, solve IA0 qdd = rhs
+            rhs = ls.vsub(u_[0], ls.matvec(IA[0], ai))
+            L6 = ls.cholesky6(IA[0])
+            qdd_root = ls.cholesky6_solve(L6, rhs)
+            for k in range(6):
+                qdd[k] = qdd_root[k]
+            acc[i] = ls.vadd(ai, qdd_root)
+        else:
+            qdd_i = (u_[i] - ls.dot(U[i], ai)) * dinv[i]
+            acc[i] = ls.vadd(ai, ls.vscale(qdd_i, ms.S[i]))
+            qdd[ms.vi(i)] = qdd_i
     return qdd
 
 
@@ -218,7 +263,7 @@ def rnea_fused(model: RobotModel, q, qd, qdd=None, gravity: float = -9.81,
     TPU it runs in interpret mode (tests) unless interpret=False.
     """
     ms = get_static(model)
-    n = ms.nb
+    nq, nv = ms.nq, ms.nv
     B = q.shape[-2]
     if interpret is None:
         interpret = not _on_tpu()
@@ -240,26 +285,26 @@ def rnea_fused(model: RobotModel, q, qd, qdd=None, gravity: float = -9.81,
             qdd_ref, tau_ref = rest
         else:
             (tau_ref,) = rest
-        q_s = [q_ref[i] for i in range(n)]
-        qd_s = [qd_ref[i] for i in range(n)]
-        qdd_s = [rest[0][i] for i in range(n)] if has_qdd else None
+        q_s = [q_ref[i] for i in range(nq)]
+        qd_s = [qd_ref[i] for i in range(nv)]
+        qdd_s = [rest[0][i] for i in range(nv)] if has_qdd else None
         tau = rnea_lane(ms, q_s, qd_s, qdd_s, gravity)
-        for i in range(n):
+        for i in range(nv):
             tau_ref[i] = tau[i]
 
-    spec = pl.BlockSpec((n, 8, L), lambda b: (0, 0, b),
-                        memory_space=pltpu.VMEM)
-    ins = [_pack(q, n), _pack(qd, n)]
-    in_specs = [spec, spec]
+    mkspec = lambda rows: pl.BlockSpec((rows, 8, L), lambda b: (0, 0, b),
+                                       memory_space=pltpu.VMEM)
+    ins = [_pack(q, nq), _pack(qd, nv)]
+    in_specs = [mkspec(nq), mkspec(nv)]
     if has_qdd:
-        ins.append(_pack(qdd, n))
-        in_specs.append(spec)
+        ins.append(_pack(qdd, nv))
+        in_specs.append(mkspec(nv))
     out = pl.pallas_call(
         kernel,
         grid=(nblocks,),
         in_specs=in_specs,
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((n, 8, Bp // 8), q.dtype),
+        out_specs=mkspec(nv),
+        out_shape=jax.ShapeDtypeStruct((nv, 8, Bp // 8), q.dtype),
         interpret=interpret,
     )(*ins)
     return _unpack(out, Bp)[:B]
@@ -274,7 +319,8 @@ def fd_step_fused(model: RobotModel, x, u, dt: float,
     integration — is one pallas kernel; HBM traffic is exactly inputs+outputs.
     """
     ms = get_static(model)
-    n = ms.nb
+    nq, nv = ms.nq, ms.nv
+    nx = nq + nv
     B = x.shape[-2]
     if interpret is None:
         interpret = not _on_tpu()
@@ -287,27 +333,27 @@ def fd_step_fused(model: RobotModel, x, u, dt: float,
     nblocks = (Bp // 8) // L
 
     def kernel(x_ref, u_ref, out_ref):
-        q_s = [x_ref[i] for i in range(n)]
-        qd_s = [x_ref[n + i] for i in range(n)]
-        tau_s = [u_ref[i] for i in range(n)]
+        q_s = [x_ref[i] for i in range(nq)]
+        qd_s = [x_ref[nq + i] for i in range(nv)]
+        tau_s = [u_ref[i] for i in range(nv)]
         qdd = aba_lane(ms, q_s, qd_s, tau_s, gravity)
-        for i in range(n):
+        for i in range(nv):
             qd_new = qd_s[i] + dt * qdd[i]
-            out_ref[n + i] = qd_new
+            out_ref[nq + i] = qd_new
             out_ref[i] = q_s[i] + dt * qd_new
 
-    spec_x = pl.BlockSpec((2 * n, 8, L), lambda b: (0, 0, b),
+    spec_x = pl.BlockSpec((nx, 8, L), lambda b: (0, 0, b),
                           memory_space=pltpu.VMEM)
-    spec_u = pl.BlockSpec((n, 8, L), lambda b: (0, 0, b),
+    spec_u = pl.BlockSpec((nv, 8, L), lambda b: (0, 0, b),
                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=(nblocks,),
         in_specs=[spec_x, spec_u],
         out_specs=spec_x,
-        out_shape=jax.ShapeDtypeStruct((2 * n, 8, Bp // 8), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((nx, 8, Bp // 8), x.dtype),
         interpret=interpret,
-    )(_pack(x, 2 * n), _pack(u, n))
+    )(_pack(x, nx), _pack(u, nv))
     return _unpack(out, Bp)[:B]
 
 
@@ -534,6 +580,8 @@ def linearize_fused(model: RobotModel, q, qd, u, dt: float,
     BASELINE.json north star) with zero intermediate HBM traffic.
     """
     ms = get_static(model)
+    if ms.fb:
+        raise ValueError("linearize_fused supports fixed-base models only")
     n = ms.nb
     B_orig = q.shape[-2]
     if interpret is None:
@@ -591,6 +639,8 @@ def fd_step_minv_fused(model: RobotModel, x, u, dt: float,
     configs[1]): bias RNEA -> direct Minv -> qdd = Minv (u - c) -> semi-
     implicit Euler, all in ONE pallas kernel.  x (B, 2n), u (B, n) -> (B, 2n)."""
     ms = get_static(model)
+    if ms.fb:
+        raise ValueError("fd_step_minv_fused supports fixed-base models only")
     n = ms.nb
     B = x.shape[-2]
     if interpret is None:

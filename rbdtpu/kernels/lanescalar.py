@@ -237,3 +237,76 @@ def prismatic_x(axis, Xtree_static, q):
     XJ[5][0] = _mul(ay, q)
     XJ[5][1] = _mul(-ax, q)
     return matmat(XJ, Xtree_static)
+
+
+# ----------------------------------------------------------------------- #
+# floating-base root support                                              #
+# ----------------------------------------------------------------------- #
+
+def rpy_R(sr, cr, sp, cp, sy, cy):
+    """Active rotation R = Rz(yaw) Ry(pitch) Rx(roll) as a 3x3 nested list of
+    lane-scalars (URDF rpy convention, spatial.transforms.rpy_to_R)."""
+    return [
+        [cy * cp, cy * sp * sr - sy * cr, cy * sp * cr + sy * sr],
+        [sy * cp, sy * sp * sr + cy * cr, sy * sp * cr - cy * sr],
+        [-sp, cp * sr, cp * cr],
+    ]
+
+
+def floating_x(Xtree_static, px, py, pz, R):
+    """Spatial motion transform of the floating 6-DoF root:
+    X = plux(R^T, p) @ Xtree  (world -> body)."""
+    E = [[R[j][i] for j in range(3)] for i in range(3)]
+    # -E @ skew(p)
+    sk = [[0.0, _mul(-1.0, pz), py],
+          [pz, 0.0, _mul(-1.0, px)],
+          [_mul(-1.0, py), px, 0.0]]
+    Esk = [[0.0] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(3):
+            acc = 0.0
+            for k in range(3):
+                acc = _add(acc, _mul(E[i][k], sk[k][j]))
+            Esk[i][j] = _mul(-1.0, acc)
+    X = mat66(0.0)
+    for i in range(3):
+        for j in range(3):
+            X[i][j] = E[i][j]
+            X[3 + i][3 + j] = E[i][j]
+            X[3 + i][j] = Esk[i][j]
+    return matmat(X, Xtree_static)
+
+
+def cholesky6(M):
+    """Cholesky of a 6x6 SPD nested list of lane-scalars, fully unrolled."""
+    import jax.numpy as jnp
+    n = len(M)
+    L = [[0.0] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = M[i][j]
+            for k in range(j):
+                s = _add(s, _mul(-1.0, _mul(L[i][k], L[j][k])))
+            if i == j:
+                L[i][j] = jnp.sqrt(s)
+            else:
+                L[i][j] = s / L[j][j]
+    return L
+
+
+def cholesky6_solve(L, b):
+    """Solve (L L^T) x = b for vec6 b of lane-scalars."""
+    n = len(L)
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = _add(s, _mul(-1.0, _mul(L[i][k], y[k])))
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in range(n - 1, -1, -1):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = _add(s, _mul(-1.0, _mul(L[k][i], x[k])))
+        x[i] = s / L[i][i]
+    return x

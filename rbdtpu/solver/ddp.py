@@ -78,7 +78,7 @@ def _step_plain(model, x, u, dt, gravity):
 
 
 def _make_step(model, config):
-    if config.fused and not model.floating_base:
+    if config.fused:
         from ..kernels.fused import fd_step_fused
 
         def step(x, u):

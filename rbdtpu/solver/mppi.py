@@ -25,6 +25,7 @@ class MPPIConfig:
     temperature: float = 0.05
     dt: float = 0.01
     gravity: float = -9.81
+    fused: bool = False  # fused Pallas step kernel for the sample rollouts
 
 
 def mppi_step(
@@ -49,7 +50,7 @@ def mppi_step(
     U_samp = U[None] + eps
 
     X_samp = rollout(model, jnp.broadcast_to(x0, (config.n_samples,) + x0.shape),
-                     U_samp, config.dt, config.gravity)
+                     U_samp, config.dt, config.gravity, fused=config.fused)
     Js = jax.vmap(lambda X, Uc: trajectory_cost(cost, X, Uc))(X_samp, U_samp)
     Js = jnp.where(jnp.isfinite(Js), Js, jnp.inf)
     beta = jnp.min(Js)
@@ -63,7 +64,8 @@ def mppi_step(
     # and never regress below the unperturbed nominal (Js[0]) — the sampling
     # analog of DDP's line-search rejection (solver-level failure guard,
     # SURVEY.md §5)
-    X_new = rollout(model, x0, U_new, config.dt, config.gravity)
+    X_new = rollout(model, x0[None], U_new[None], config.dt, config.gravity,
+                    fused=config.fused)[0]
     J_new = trajectory_cost(cost, X_new, U_new)
     cand_J = jnp.stack([J_new, beta, Js[0]])
     pick = jnp.argmin(cand_J)

@@ -16,18 +16,35 @@ from ..dynamics.fd import forward_dynamics_full
 from .integrate import euler_semi_implicit, split_state, step_jacobians
 
 
-def rollout(model: RobotModel, x0, U, dt: float, gravity: float = -9.81):
+def rollout(model: RobotModel, x0, U, dt: float, gravity: float = -9.81,
+            fused: bool = False):
     """Roll the dynamics forward under a control sequence.
 
     x0 (..., nx), U (..., H, nv) -> X (..., H+1, nx); leading batch dims are
     carried through the scan (P1 batching: many rollouts per chip via vmap on
-    top of this).  Uses the O(n) ABA route per step (SURVEY.md §3.4 note).
+    top of this).  Uses the O(n) ABA route per step (SURVEY.md §3.4 note);
+    fused=True routes each step through the fused Pallas kernel
+    (kernels.fd_step_fused) when the flattened batch allows it.
     """
-    def step(x, u):
-        q, qd = split_state(model, x)
-        qdd = aba(model, q, qd, u, gravity=gravity)
-        x_next = euler_semi_implicit(model, x, qdd, dt)
-        return x_next, x_next
+    if fused:
+        from ..kernels.fused import fd_step_fused
+
+        def step(x, u):
+            batch = x.shape[:-1]
+            flat = 1
+            for b in batch:
+                flat *= b
+            x_next = fd_step_fused(
+                model, x.reshape(flat, x.shape[-1]),
+                u.reshape(flat, u.shape[-1]), dt, gravity,
+            ).reshape(x.shape)
+            return x_next, x_next
+    else:
+        def step(x, u):
+            q, qd = split_state(model, x)
+            qdd = aba(model, q, qd, u, gravity=gravity)
+            x_next = euler_semi_implicit(model, x, qdd, dt)
+            return x_next, x_next
 
     U_t = jnp.moveaxis(U, -2, 0)  # scan over time axis
     _, X_t = jax.lax.scan(step, x0, U_t)

@@ -77,6 +77,26 @@ def test_fd_step_minv_fused_matches_jnp(arm7, rng):
                                rtol=1e-8, atol=1e-8)
 
 
+def test_fused_floating_base_rnea_and_step(quadruped12fb, rng):
+    """Floating-base fused kernels (rpy root transform + 6x6 root Cholesky)
+    match the jnp algorithms."""
+    m = quadruped12fb
+    q = jnp.array(rng.uniform(-0.4, 0.4, (B, m.nq)))
+    qd = jnp.array(rng.uniform(-0.4, 0.4, (B, m.nv)))
+    qdd = jnp.array(rng.uniform(-1, 1, (B, m.nv)))
+    tau_k = rnea_fused(m, q, qd, qdd)
+    tau_j = dyn.rnea(m, q, qd, qdd)[0]
+    np.testing.assert_allclose(np.asarray(tau_k), np.asarray(tau_j),
+                               rtol=1e-8, atol=1e-8)
+    x = jnp.concatenate([q, qd], -1)
+    u = jnp.array(rng.uniform(-1, 1, (B, m.nv)))
+    x_k = fd_step_fused(m, x, u, 0.01)
+    qq, qqd = split_state(m, x)
+    x_j = euler_semi_implicit(m, x, dyn.aba(m, qq, qqd, u), 0.01)
+    np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_j),
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_rollout_fused_matches_jnp(arm7, rng):
     from rbdtpu.solver import rollout
 
