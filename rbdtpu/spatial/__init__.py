@@ -1,4 +1,5 @@
 """Batched spatial-vector algebra and transform builders (SURVEY.md §7 `spatial/`)."""
+from . import batched
 from .ops import (
     crm,
     crf,
