@@ -6,8 +6,6 @@ collectives riding ICI (SURVEY.md §5 "distributed communication backend").
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

@@ -9,8 +9,6 @@ engine.
 """
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from ..model.robot import RobotModel
 from ..spatial.batched import mm, mv
 from .minv import minv

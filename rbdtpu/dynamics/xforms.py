@@ -12,11 +12,9 @@ import jax.numpy as jnp
 
 from ..model.robot import RobotModel
 from ..spatial.transforms import (
-    FLOATING,
     PRISMATIC,
     floating_spatial_x,
     floating_hom_T,
-    joint_spatial_x,
     joint_hom_T,
     rot_axis,
 )

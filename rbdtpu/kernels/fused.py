@@ -15,7 +15,6 @@ under pallas interpret mode, bit-matching semantics for tests.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +22,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..model.robot import RobotModel
-from ..spatial.transforms import REVOLUTE, PRISMATIC
+from ..spatial.transforms import PRISMATIC
 from . import lanescalar as ls
 
 

@@ -21,8 +21,6 @@ pallas_call kernels and in ordinary jit code (the fallback path).
 """
 from __future__ import annotations
 
-import math
-
 import jax.numpy as jnp
 
 # ----------------------------------------------------------------------- #

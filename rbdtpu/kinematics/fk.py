@@ -19,7 +19,7 @@ Everything is vmap-closed over leading batch dims of q.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax.numpy as jnp
 

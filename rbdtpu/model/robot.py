@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..spatial.transforms import REVOLUTE, PRISMATIC, FLOATING, FIXED
+from ..spatial.transforms import FLOATING
 
 
 @jax.tree_util.register_dataclass

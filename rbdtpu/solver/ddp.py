@@ -40,7 +40,7 @@ from ..spatial.batched import (
     mm, mtm, mv, mtv, cholesky_small, cholesky_solve_small,
 )
 from .costs import Cost, trajectory_cost, quadratize_trajectory
-from .rollout import rollout, linearize_trajectory
+from .rollout import linearize_trajectory
 from .integrate import split_state, euler_semi_implicit
 from ..dynamics.aba import aba
 

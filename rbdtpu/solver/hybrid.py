@@ -8,8 +8,6 @@ keeping DDP's terminal precision.
 """
 from __future__ import annotations
 
-import jax
-
 from ..model.robot import RobotModel
 from .costs import Cost
 from .ddp import DDPConfig, ddp_solve

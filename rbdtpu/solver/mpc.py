@@ -8,8 +8,7 @@ Failure handling: DDP's internal regularization backoff + line-search rejection
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
