@@ -262,8 +262,8 @@ def bench_humanoid_hybrid():
                                    w_u=1e-5)
     u_hold = rnea(model, q0, zero, zero)[0]
     U0 = jnp.broadcast_to(u_hold[:, None, :], (Bm, H, model.nv))
-    mcfg = MPPIConfig(n_samples=128, sigma=0.3, dt=0.01)
-    dcfg = DDPConfig(iters=4, dt=0.01, n_alphas=4)
+    mcfg = MPPIConfig(n_samples=128, sigma=0.3, dt=0.01, fused=True)
+    dcfg = DDPConfig(iters=4, dt=0.01, n_alphas=4, fused=True)
     keys = jax.random.split(jax.random.PRNGKey(3), Bm)
     f = jax.jit(jax.vmap(
         lambda x, U, k: hybrid_solve(model, cost, x, U, k, mcfg, dcfg,
