@@ -56,6 +56,13 @@ def rnea_grad_fpass(model: RobotModel, Xs, qd, v, a, gravity=-9.81):
 
     v, a: (..., NB, 6) stacked kinematics from rnea.
     Returns (df_dq, df_dqd): lists of (..., 6, n) per body.
+
+    Floating base: valid for the dqd pass and the JOINT columns of the dq
+    pass (the root's S = eye(6) is constant and joint coordinates do not move
+    the root, so the recursions hold; root dq-columns stay zero).  The 6
+    root-POSE dq-columns involve Euler-angle coupling and are filled by the
+    driver via 6 forward-mode tangents — the piece the reference's fb grad
+    got wrong (SURVEY.md §2.1).
     """
     nb, n = model.nb, model.nv
     batch = Xs[0].shape[:-2]
@@ -72,6 +79,24 @@ def rnea_grad_fpass(model: RobotModel, Xs, qd, v, a, gravity=-9.81):
     for i in range(nb):
         p = model.parent[i]
         Xi = Xs[i]
+        if model.floating_base and i == 0:
+            zeros = jnp.zeros(batch + (6, n), dt)
+            # dq joint-columns of the root are zero; dqd: dv = eye block,
+            # da = d(crm(v)v) = 0 (motion cross is antisymmetric)
+            dvq, daq = zeros, zeros
+            dvd = zeros.at[..., :, 0:6].add(jnp.eye(6, dtype=dt))
+            dad = zeros
+            Ii = model.I[i]
+            vi = v[..., i, :]
+            Iv = (Ii * vi[..., None, :]).sum(-1)
+            dfq = zeros
+            dfd = (
+                mm(Ii, dad) + _cross_force_cols(dvd, Iv)
+                + _cross_force_by(vi, mm(Ii, dvd))
+            )
+            dv_q[i], da_q[i], df_q[i] = dvq, daq, dfq
+            dv_d[i], da_d[i], df_d[i] = dvd, dad, dfd
+            continue
         S = model.S[i]
         qi = model.v_index(i)
         qd_i = qd[..., qi]
@@ -123,6 +148,11 @@ def rnea_grad_bpass(model: RobotModel, Xs, f, df_q, df_d, use_damping=False):
 
     for i in range(nb - 1, -1, -1):
         p = model.parent[i]
+        if model.floating_base and i == 0:
+            # S = eye(6): the root's 6 dc rows are the df blocks directly
+            dc_dq = dc_dq.at[..., 0:6, :].set(df_q[i])
+            dc_dqd = dc_dqd.at[..., 0:6, :].set(df_d[i])
+            continue
         S = model.S[i]
         qi = model.v_index(i)
         dc_dq = dc_dq.at[..., qi, :].set((S[:, None] * df_q[i]).sum(-2))
@@ -162,24 +192,25 @@ def rnea_grad(
     Returns (..., n, 2n) hstacked like the reference (RBDReference.py:1367), or a
     (dc_dq, dc_dqd) tuple when split=True.
     """
+    Xs = joint_transforms_list(model, q)
+    c, v, a, f = rnea(model, q, qd, qdd, gravity)
+    df_q, df_d = rnea_grad_fpass(model, Xs, qd, v, a, gravity)
+    dc_dq, dc_dqd = rnea_grad_bpass(model, Xs, f, df_q, df_d, use_damping)
     if model.floating_base:
-        # exact jacobian through the fb-correct RNEA (see module docstring)
-        tau_fn = lambda q_, qd_, qdd_: rnea(model, q_, qd_, qdd_, gravity)[0]
+        # the analytic dq pass leaves the 6 root-POSE columns zero (Euler
+        # angle coupling breaks the per-column crm identities there — the
+        # reference's fb grad bug, SURVEY.md §2.1); fill them exactly with
+        # 6 forward-mode tangents through the fb-correct RNEA
         qdd_arg = qdd if qdd is not None else jnp.zeros_like(qd)
-        dc_dq = _batched_jac(tau_fn, 0)(q, qd, qdd_arg)
-        dc_dqd = _batched_jac(tau_fn, 1)(q, qd, qdd_arg)
-        if use_damping:
-            n = model.nv
-            diag = jnp.zeros((n,), dc_dqd.dtype)
-            diag = diag.at[0:6].add(model.damping[0])
-            for i in range(1, model.nb):
-                diag = diag.at[model.v_index(i)].add(model.damping[i])
-            dc_dqd = dc_dqd + jnp.eye(n, dtype=dc_dqd.dtype) * diag
-    else:
-        Xs = joint_transforms_list(model, q)
-        c, v, a, f = rnea(model, q, qd, qdd, gravity)
-        df_q, df_d = rnea_grad_fpass(model, Xs, qd, v, a, gravity)
-        dc_dq, dc_dqd = rnea_grad_bpass(model, Xs, f, df_q, df_d, use_damping)
+
+        def tau_of_root(r6, q_rest, qd_, qdd_):
+            q_full = jnp.concatenate([r6, q_rest], axis=-1)
+            return rnea(model, q_full, qd_, qdd_, gravity)[0]
+
+        J6 = _batched_jac(tau_of_root, 0)(
+            q[..., 0:6], q[..., 6:], qd, qdd_arg
+        )
+        dc_dq = dc_dq.at[..., :, 0:6].set(J6)
     if split:
         return dc_dq, dc_dqd
     return jnp.concatenate([dc_dq, dc_dqd], axis=-1)
