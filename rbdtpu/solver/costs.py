@@ -56,13 +56,16 @@ def quadratic_tracking_cost(
         return 0.5 * (Wf * d * d).sum(-1)
 
     def stage_derivs(x, u, t):
-        batch = x.shape[:-1]
         d = x - x_goal
         lx = W * d
         lu = w_u * u
-        lxx = jnp.broadcast_to(jnp.diag(W), batch + (nx, nx))
-        luu = jnp.broadcast_to(w_u * jnp.eye(nv), batch + (nv, nv))
-        lux = jnp.zeros(batch + (nv, nx), x.dtype)
+        # CONSTANT quadratic terms are returned unbatched ((nx,nx) etc.):
+        # the backward pass keeps them as closure constants instead of
+        # streaming (B,H,nx,nx) copies through the scan (hundreds of MB at
+        # benchmark sizes)
+        lxx = jnp.diag(W)
+        luu = w_u * jnp.eye(nv)
+        lux = jnp.zeros((nv, nx), x.dtype)
         return lx, lu, lxx, luu, lux
 
     def terminal_derivs(x):
@@ -122,12 +125,11 @@ def ee_reaching_cost(
         return lx, lxx
 
     def stage_derivs(x, u, t):
-        batch = x.shape[:-1]
         g_q, H_qq = _ee_terms(x, w_ee)
         lx, lxx = _assemble(g_q, H_qq, w_qd * x[..., nq:], w_qd, x)
         lu = w_u * u
-        luu = jnp.broadcast_to(w_u * jnp.eye(nv), batch + (nv, nv))
-        lux = jnp.zeros(batch + (nv, nx), x.dtype)
+        luu = w_u * jnp.eye(nv)          # constant: see tracking cost note
+        lux = jnp.zeros((nv, nx), x.dtype)
         return lx, lu, lxx, luu, lux
 
     def terminal_derivs(x):

@@ -135,22 +135,32 @@ def backward_pass(A, B, lx, lu, lxx, luu, lux, lfx, lfxx, reg):
     nu = lu.shape[-1]
     eye_u = jnp.eye(nu, dtype=lu.dtype)
 
-    # move time axis to front for the scan: (..., H, ...) -> (H, ..., ...)
+    # move time axis to front for the scan: (..., H, ...) -> (H, ..., ...).
+    # CONSTANT quadratic cost terms (plain (n, m) arrays, no batch/time —
+    # see costs.quadratic_tracking_cost) stay closure constants instead of
+    # being streamed through the scan as (B, H, n, m) copies.
     tmove = lambda x, r: jnp.moveaxis(x, -r, 0)
     A_t = tmove(A, 3)
     B_t = tmove(B, 3)
     lx_t = tmove(lx, 2)
     lu_t = tmove(lu, 2)
-    lxx_t = tmove(lxx, 3)
-    luu_t = tmove(luu, 3)
-    lux_t = tmove(lux, 3)
+    timed = {}
+    const = {}
+    for name, arr in (("lxx", lxx), ("luu", luu), ("lux", lux)):
+        if arr.ndim == 2:
+            const[name] = arr
+        else:
+            timed[name] = tmove(arr, 3)
 
     batch = lfx.shape[:-1]
     reg_b = jnp.broadcast_to(reg, batch)
 
     def step(carry, inp):
         Vx, Vxx, ok = carry
-        A_s, B_s, lx_s, lu_s, lxx_s, luu_s, lux_s = inp
+        A_s, B_s, lx_s, lu_s, extras = inp
+        lxx_s = extras.get("lxx", const.get("lxx"))
+        luu_s = extras.get("luu", const.get("luu"))
+        lux_s = extras.get("lux", const.get("lux"))
         VxxA = mm(Vxx, A_s)
         VxxB = mm(Vxx, B_s)
         Qx = lx_s + mtv(A_s, Vx)
@@ -173,7 +183,7 @@ def backward_pass(A, B, lx, lu, lxx, luu, lux, lfx, lfxx, reg):
         return (Vx_new, Vxx_new, ok & pd), (k, K, dV1)
 
     init = (lfx, lfxx, jnp.ones(batch, bool))
-    inputs = (A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t)
+    inputs = (A_t, B_t, lx_t, lu_t, timed)
     rev = lambda t: jnp.flip(t, axis=0)
     (Vx, Vxx, ok), (k, K, dV1) = jax.lax.scan(
         step, init, jax.tree.map(rev, inputs)

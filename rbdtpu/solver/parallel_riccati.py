@@ -103,8 +103,18 @@ def backward_pass_parallel(A, B, lx, lu, lxx, luu, lux, lfx, lfxx, reg):
     (reg folded into luu).
     """
     nu = lu.shape[-1]
+    nx = A.shape[-1]
     batch = lfx.shape[:-1]
     eye_u = jnp.eye(nu, dtype=lu.dtype)
+    # broadcast constant cost terms (see costs/quadratic_tracking_cost) to the
+    # full (..., H, n, m) shape this formulation streams through the scan
+    bh = lu.shape[:-1]
+    fix = lambda x, tail: (
+        jnp.broadcast_to(x, bh + tail) if x.ndim == 2 else x
+    )
+    lxx = fix(lxx, (nx, nx))
+    luu = fix(luu, (nu, nu))
+    lux = fix(lux, (nu, nx))
     luu_reg = luu + jnp.broadcast_to(reg, batch)[..., None, None, None] * eye_u
 
     elems, _ = _elements(A, B, lx, lu, lxx, luu_reg, lux, lfx, lfxx)
