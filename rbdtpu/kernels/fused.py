@@ -374,11 +374,14 @@ def rollout_fused(model: RobotModel, x0, U, dt: float,
 
 def minv_lane(ms: ModelStatic, X):
     """Lane-scalar direct M^-1 (dense, symmetrized).  X: transform list from
-    ``_joint_x``.  The subtree sparsity of the F matrices is enforced FOR FREE
-    by static-zero folding in lanescalar (columns outside a subtree stay
-    python 0.0 and generate no code)."""
+    ``_joint_x``/``_body_x``.  The subtree sparsity of the F matrices is
+    enforced FOR FREE by static-zero folding in lanescalar (columns outside a
+    subtree stay python 0.0 and generate no code).  Floating base: the root is
+    one 6-wide block solved with the unrolled 6x6 lane Cholesky (the dense
+    fill covers the full nv, fixing the reference's NB-only loop —
+    SURVEY.md §2.1)."""
     nb = ms.nb
-    n = nb
+    n = ms.nv
     Minv = [[0.0] * n for _ in range(n)]
     F = [[ls.vec6(0.0) for _ in range(n)] for _ in range(nb)]
     IA = [[row[:] for row in ms.I[i]] for i in range(nb)]
@@ -386,20 +389,41 @@ def minv_lane(ms: ModelStatic, X):
     Dinv = [None] * nb
     for i in range(nb - 1, -1, -1):
         p = ms.parent[i]
+        if ms.fb and i == 0:
+            # root block: U = IA (S = eye), Dinv = IA^-1 via cholesky6
+            L6 = ls.cholesky6(IA[0])
+            eye_cols = [[1.0 if r == k else 0.0 for r in range(6)]
+                        for k in range(6)]
+            fbinv_cols = [ls.cholesky6_solve(L6, e) for e in eye_cols]
+            # fbinv[r][k] = (IA^-1)[r][k]
+            fbinv = [[fbinv_cols[k][r] for k in range(6)] for r in range(6)]
+            for r in range(6):
+                for k in range(6):
+                    Minv[r][k] = ls._add(Minv[r][k], fbinv[r][k])
+            # Minv[0:6, :] -= fbinv @ (S^T F[0]) with S^T F[0] = F[0]
+            for c in range(n):
+                col = [F[0][c][j] for j in range(6)]
+                corr = [ls.dot(fbinv[r], col) for r in range(6)]
+                for r in range(6):
+                    Minv[r][c] = ls._add(
+                        Minv[r][c], ls._mul(-1.0, corr[r])
+                    )
+            continue
         S = ms.S[i]
+        mi = ms.vi(i)
         Ui = ls.matvec(IA[i], S)
         Dinv_i = 1.0 / ls.dot(S, Ui)
         U[i], Dinv[i] = Ui, Dinv_i
         for c in range(n):
             sF = ls.dot(S, F[i][c])
             if not (ls.is_static(sF) and sF == 0.0):
-                Minv[i][c] = ls._add(Minv[i][c], ls._mul(-1.0, Dinv_i * sF))
-        Minv[i][i] = ls._add(Minv[i][i], Dinv_i)
+                Minv[mi][c] = ls._add(Minv[mi][c], ls._mul(-1.0, Dinv_i * sF))
+        Minv[mi][mi] = ls._add(Minv[mi][mi], Dinv_i)
         if p != -1:
             for c in range(n):
                 Fic = F[i][c]
-                if not (ls.is_static(Minv[i][c]) and Minv[i][c] == 0.0):
-                    Fic = ls.axpy(Minv[i][c], Ui, Fic)
+                if not (ls.is_static(Minv[mi][c]) and Minv[mi][c] == 0.0):
+                    Fic = ls.axpy(Minv[mi][c], Ui, Fic)
                 F[i][c] = Fic
                 F[p][c] = ls.vadd(F[p][c], ls.matvec_T(X[i], Fic))
             Ia = ls.mat_sub(IA[i], ls.mat_scale(Dinv_i, ls.outer_vv(Ui, Ui)))
@@ -407,14 +431,20 @@ def minv_lane(ms: ModelStatic, X):
     for i in range(nb):
         p = ms.parent[i]
         if p == -1:
-            for c in range(n):
-                F[i][c] = ls.vscale(Minv[i][c], ms.S[i])
+            if ms.fb and i == 0:
+                # S = eye(6): F[0][c] = Minv rows 0:6 at column c
+                for c in range(n):
+                    F[0][c] = [Minv[r][c] for r in range(6)]
+            else:
+                for c in range(n):
+                    F[i][c] = ls.vscale(Minv[i][c], ms.S[i])
         else:
+            mi = ms.vi(i)
             for c in range(n):
                 XF = ls.matvec(X[i], F[p][c])
                 delta = ls._mul(-1.0, ls._mul(Dinv[i], ls.dot(U[i], XF)))
-                Minv[i][c] = ls._add(Minv[i][c], delta)
-                F[i][c] = ls.axpy(Minv[i][c], ms.S[i], XF)
+                Minv[mi][c] = ls._add(Minv[mi][c], delta)
+                F[i][c] = ls.axpy(Minv[mi][c], ms.S[i], XF)
     # dense symmetrization (upper triangle is authoritative)
     return [
         [Minv[i][j] if j >= i else Minv[j][i] for j in range(n)]
@@ -424,13 +454,14 @@ def minv_lane(ms: ModelStatic, X):
 
 def _rnea_sweeps_lane(ms: ModelStatic, X, qd, qdd, gravity):
     """Forward+backward RNEA given precomputed transforms.  Returns
-    (v, a, f_acc, tau): per-body vec6 lists (f accumulated leaf->root)."""
+    (v, a, f_acc, tau): per-body vec6 lists (f accumulated leaf->root),
+    tau a length-nv list.  Floating-base aware."""
     nb = ms.nb
     a_grav = [0.0, 0.0, 0.0, 0.0, 0.0, -gravity]
     v, a, f = [None] * nb, [None] * nb, [None] * nb
     for i in range(nb):
         p = ms.parent[i]
-        vJ = ls.vscale(qd[i], ms.S[i])
+        vJ = _vj(ms, i, qd)
         if p == -1:
             vi = vJ
             ai = ls.matvec(X[i], a_grav)
@@ -439,14 +470,18 @@ def _rnea_sweeps_lane(ms: ModelStatic, X, qd, qdd, gravity):
             ai = ls.matvec(X[i], a[p])
         ai = ls.vadd(ai, ls.cross_motion(vi, vJ))
         if qdd is not None:
-            ai = ls.vadd(ai, ls.vscale(qdd[i], ms.S[i]))
+            ai = ls.vadd(ai, _vj(ms, i, qdd))
         Iv = ls.matvec(ms.I[i], vi)
         fi = ls.vadd(ls.matvec(ms.I[i], ai), ls.cross_force(vi, Iv))
         v[i], a[i], f[i] = vi, ai, fi
-    tau = [None] * nb
+    tau = [None] * ms.nv
     for i in range(nb - 1, -1, -1):
         p = ms.parent[i]
-        tau[i] = ls.dot(ms.S[i], f[i])
+        if ms.fb and i == 0:
+            for k in range(6):
+                tau[k] = f[0][k]
+        else:
+            tau[ms.vi(i)] = ls.dot(ms.S[i], f[i])
         if p != -1:
             f[p] = ls.vadd(f[p], ls.matvec_T(X[i], f[i]))
     return v, a, f, tau
@@ -456,42 +491,61 @@ def rnea_grad_lane(ms: ModelStatic, X, qd, v, a, f, gravity):
     """Lane-scalar analytical RNEA gradient (both fpass+bpass fused).
     Returns (dc_dq, dc_dqd): n x n nested lists of lane-scalars."""
     nb = ms.nb
-    n = nb
+    n = ms.nv
     a_grav = [0.0, 0.0, 0.0, 0.0, 0.0, -gravity]
     zc = lambda: [ls.vec6(0.0) for _ in range(n)]
     dvq, daq, dfq = [None] * nb, [None] * nb, [None] * nb
     dvd, dad, dfd = [None] * nb, [None] * nb, [None] * nb
     for i in range(nb):
         p = ms.parent[i]
-        S = ms.S[i]
         Xi = X[i]
-        qd_i = qd[i]
+        if ms.fb and i == 0:
+            # dq joint-columns of the root are zero (and the 6 root-POSE
+            # columns are filled outside via AD tangents); dqd: eye block
+            dvq_i, daq_i = zc(), zc()
+            dfq_i = zc()
+            dvd_i = zc()
+            for k in range(6):
+                dvd_i[k] = [1.0 if r == k else 0.0 for r in range(6)]
+            dad_i = zc()
+            Iv = ls.matvec(ms.I[i], v[i])
+            mk_dfd = lambda dv_c: ls.vadd(
+                ls.cross_force(dv_c, Iv),
+                ls.cross_force(v[i], ls.matvec(ms.I[i], dv_c)),
+            )
+            dfd_i = [mk_dfd(dvd_i[c]) for c in range(n)]
+            dvq[i], daq[i], dfq[i] = dvq_i, daq_i, dfq_i
+            dvd[i], dad[i], dfd[i] = dvd_i, dad_i, dfd_i
+            continue
+        S = ms.S[i]
+        ci = ms.vi(i)
+        qd_i = qd[ci]
         if p == -1:
             dvq_i = zc()
             daq_b = zc()
             Xa_ref = ls.matvec(Xi, a_grav)
             dvd_i = zc()
-            dvd_i[i] = list(S)
+            dvd_i[ci] = list(S)
             dad_b = zc()
         else:
             dvq_i = [ls.matvec(Xi, dvq[p][c]) for c in range(n)]
             Xv = ls.matvec(Xi, v[p])
-            dvq_i[i] = ls.vadd(dvq_i[i], ls.cross_motion(Xv, S))
+            dvq_i[ci] = ls.vadd(dvq_i[ci], ls.cross_motion(Xv, S))
             daq_b = [ls.matvec(Xi, daq[p][c]) for c in range(n)]
             Xa_ref = ls.matvec(Xi, a[p])
             dvd_i = [ls.matvec(Xi, dvd[p][c]) for c in range(n)]
-            dvd_i[i] = ls.vadd(dvd_i[i], list(S))
+            dvd_i[ci] = ls.vadd(dvd_i[ci], list(S))
             dad_b = [ls.matvec(Xi, dad[p][c]) for c in range(n)]
         daq_i = [
             ls.vadd(daq_b[c], ls.vscale(qd_i, ls.cross_motion(dvq_i[c], S)))
             for c in range(n)
         ]
-        daq_i[i] = ls.vadd(daq_i[i], ls.cross_motion(Xa_ref, S))
+        daq_i[ci] = ls.vadd(daq_i[ci], ls.cross_motion(Xa_ref, S))
         dad_i = [
             ls.vadd(dad_b[c], ls.vscale(qd_i, ls.cross_motion(dvd_i[c], S)))
             for c in range(n)
         ]
-        dad_i[i] = ls.vadd(dad_i[i], ls.cross_motion(v[i], S))
+        dad_i[ci] = ls.vadd(dad_i[ci], ls.cross_motion(v[i], S))
         Iv = ls.matvec(ms.I[i], v[i])
         mk_df = lambda da_c, dv_c: ls.vadd(
             ls.vadd(ls.matvec(ms.I[i], da_c), ls.cross_force(dv_c, Iv)),
@@ -506,10 +560,17 @@ def rnea_grad_lane(ms: ModelStatic, X, qd, v, a, f, gravity):
     dcd = [[0.0] * n for _ in range(n)]
     for i in range(nb - 1, -1, -1):
         p = ms.parent[i]
+        if ms.fb and i == 0:
+            for k in range(6):
+                for c in range(n):
+                    dcq[k][c] = dfq[0][c][k]
+                    dcd[k][c] = dfd[0][c][k]
+            continue
         S = ms.S[i]
+        ci = ms.vi(i)
         for c in range(n):
-            dcq[i][c] = ls.dot(S, dfq[i][c])
-            dcd[i][c] = ls.dot(S, dfd[i][c])
+            dcq[ci][c] = ls.dot(S, dfq[i][c])
+            dcd[ci][c] = ls.dot(S, dfd[i][c])
         if p != -1:
             delta = ls.matvec_T(
                 X[i], ls.vscale(-1.0, ls.cross_motion(f[i], S))
@@ -517,17 +578,21 @@ def rnea_grad_lane(ms: ModelStatic, X, qd, v, a, f, gravity):
             for c in range(n):
                 dfq[p][c] = ls.vadd(dfq[p][c], ls.matvec_T(X[i], dfq[i][c]))
                 dfd[p][c] = ls.vadd(dfd[p][c], ls.matvec_T(X[i], dfd[i][c]))
-            dfq[p][i] = ls.vadd(dfq[p][i], delta)
+            dfq[p][ci] = ls.vadd(dfq[p][ci], delta)
     return dcq, dcd
 
 
 def fd_linearize_lane(ms: ModelStatic, q, qd, u, dt: float, gravity: float):
     """The entire DDP knot linearization in lane-scalars: bias RNEA -> Minv ->
     qdd -> full RNEA -> analytic gradient -> discrete (A, B) of the
-    semi-implicit Euler step.  Returns (A (2n x 2n), B (2n x n), qdd)."""
+    semi-implicit Euler step.  Returns (A (2n x 2n), B (2n x n), Minv, qdd).
+
+    Floating base: the 6 root-POSE columns of the position gradient are left
+    zero in A (the wrapper patches them with 6 AD tangents, mirroring
+    dynamics.rnea_grad)."""
     nb = ms.nb
-    n = nb
-    X = [_joint_x(ms, i, q[i]) for i in range(nb)]
+    n = ms.nv
+    X = [_body_x(ms, i, q) for i in range(nb)]
     # bias force c (qdd = 0)
     _, _, _, c = _rnea_sweeps_lane(ms, X, qd, None, gravity)
     Minv = minv_lane(ms, X)
@@ -566,7 +631,7 @@ def fd_linearize_lane(ms: ModelStatic, q, qd, u, dt: float, gravity: float):
             )
             B[i][j] = ls._mul(dt2, Minv[i][j])
             B[n + i][j] = ls._mul(dt, Minv[i][j])
-    return A, B, qdd
+    return A, B, Minv, qdd
 
 
 def linearize_fused(model: RobotModel, q, qd, u, dt: float,
@@ -579,9 +644,7 @@ def linearize_fused(model: RobotModel, q, qd, u, dt: float,
     BASELINE.json north star) with zero intermediate HBM traffic.
     """
     ms = get_static(model)
-    if ms.fb:
-        raise ValueError("linearize_fused supports fixed-base models only")
-    n = ms.nb
+    n = ms.nv
     B_orig = q.shape[-2]
     if interpret is None:
         interpret = not _on_tpu()
@@ -593,42 +656,76 @@ def linearize_fused(model: RobotModel, q, qd, u, dt: float,
     L = _pick_lanes(Bsz, block_lanes)
     nblocks = (Bsz // 8) // L
 
-    def kernel(q_ref, qd_ref, u_ref, A_ref, B_ref):
-        q_s = [q_ref[i] for i in range(n)]
+    nq = ms.nq
+
+    def kernel(q_ref, qd_ref, u_ref, A_ref, B_ref, M_ref, qdd_ref):
+        q_s = [q_ref[i] for i in range(nq)]
         qd_s = [qd_ref[i] for i in range(n)]
         u_s = [u_ref[i] for i in range(n)]
-        A, Bm, _ = fd_linearize_lane(ms, q_s, qd_s, u_s, dt, gravity)
+        A, Bm, Minv, qdd = fd_linearize_lane(ms, q_s, qd_s, u_s, dt, gravity)
         like = q_s[0]
+        lane = lambda x: jnp.full_like(like, x) if ls.is_static(x) else x
         for i in range(2 * n):
             for j in range(2 * n):
-                x = A[i][j]
-                A_ref[i, j] = jnp.full_like(like, x) if ls.is_static(x) else x
+                A_ref[i, j] = lane(A[i][j])
             for j in range(n):
-                x = Bm[i][j]
-                B_ref[i, j] = jnp.full_like(like, x) if ls.is_static(x) else x
+                B_ref[i, j] = lane(Bm[i][j])
+        for i in range(n):
+            qdd_ref[i] = lane(qdd[i])
+            for j in range(n):
+                M_ref[i, j] = lane(Minv[i][j])
 
+    spec_q = pl.BlockSpec((nq, 8, L), lambda b: (0, 0, b),
+                          memory_space=pltpu.VMEM)
     spec_in = pl.BlockSpec((n, 8, L), lambda b: (0, 0, b),
                            memory_space=pltpu.VMEM)
     spec_A = pl.BlockSpec((2 * n, 2 * n, 8, L), lambda b: (0, 0, 0, b),
                           memory_space=pltpu.VMEM)
     spec_B = pl.BlockSpec((2 * n, n, 8, L), lambda b: (0, 0, 0, b),
                           memory_space=pltpu.VMEM)
-    A_pk, B_pk = pl.pallas_call(
+    spec_M = pl.BlockSpec((n, n, 8, L), lambda b: (0, 0, 0, b),
+                          memory_space=pltpu.VMEM)
+    A_pk, B_pk, M_pk, qdd_pk = pl.pallas_call(
         kernel,
         grid=(nblocks,),
-        in_specs=[spec_in, spec_in, spec_in],
-        out_specs=(spec_A, spec_B),
+        in_specs=[spec_q, spec_in, spec_in],
+        out_specs=(spec_A, spec_B, spec_M, spec_in),
         out_shape=(
             jax.ShapeDtypeStruct((2 * n, 2 * n, 8, Bsz // 8), q.dtype),
             jax.ShapeDtypeStruct((2 * n, n, 8, Bsz // 8), q.dtype),
+            jax.ShapeDtypeStruct((n, n, 8, Bsz // 8), q.dtype),
+            jax.ShapeDtypeStruct((n, 8, Bsz // 8), q.dtype),
         ),
         interpret=interpret,
-    )(_pack(q, n), _pack(qd, n), _pack(u, n))
+    )(_pack(q, nq), _pack(qd, n), _pack(u, n))
     # (r, c, 8, B/8) -> (B, r, c)
     unpk = lambda t: jnp.transpose(
         t.reshape(t.shape[0], t.shape[1], Bsz), (2, 0, 1)
     )[:B_orig]
-    return unpk(A_pk), unpk(B_pk)
+    A_out, B_out = unpk(A_pk), unpk(B_pk)
+    if ms.fb:
+        # patch the 6 root-POSE columns of the position gradient with AD
+        # tangents through the fb-correct RNEA (see dynamics.rnea_grad)
+        from ..dynamics.rnea import rnea as rnea_jnp
+
+        Minv_out = unpk(M_pk)
+        qdd_out = _unpack(qdd_pk, Bsz)[:B_orig]
+        qo, qdo, _ = (q[:B_orig], qd[:B_orig], None)
+
+        def tau_of_root(r6, q_rest, qd_, qdd_):
+            q_full = jnp.concatenate([r6, q_rest], axis=-1)
+            return rnea_jnp(model, q_full, qd_, qdd_, gravity)[0]
+
+        J6 = jax.vmap(jax.jacfwd(tau_of_root, argnums=0))(
+            qo[..., 0:6], qo[..., 6:], qdo, qdd_out
+        )
+        from ..spatial.batched import mm as _mm
+
+        gq6 = -_mm(Minv_out, J6)  # (B, n, 6)
+        dt2 = dt * dt
+        A_out = A_out.at[..., :n, 0:6].add(dt2 * gq6)
+        A_out = A_out.at[..., n:, 0:6].add(dt * gq6)
+    return A_out, B_out
 
 
 def fd_step_minv_fused(model: RobotModel, x, u, dt: float,
@@ -638,9 +735,8 @@ def fd_step_minv_fused(model: RobotModel, x, u, dt: float,
     configs[1]): bias RNEA -> direct Minv -> qdd = Minv (u - c) -> semi-
     implicit Euler, all in ONE pallas kernel.  x (B, 2n), u (B, n) -> (B, 2n)."""
     ms = get_static(model)
-    if ms.fb:
-        raise ValueError("fd_step_minv_fused supports fixed-base models only")
-    n = ms.nb
+    nq, n = ms.nq, ms.nv
+    nx = nq + n
     B = x.shape[-2]
     if interpret is None:
         interpret = not _on_tpu()
@@ -653,20 +749,20 @@ def fd_step_minv_fused(model: RobotModel, x, u, dt: float,
     nblocks = (Bp // 8) // L
 
     def kernel(x_ref, u_ref, out_ref):
-        q_s = [x_ref[i] for i in range(n)]
-        qd_s = [x_ref[n + i] for i in range(n)]
+        q_s = [x_ref[i] for i in range(nq)]
+        qd_s = [x_ref[nq + i] for i in range(n)]
         u_s = [u_ref[i] for i in range(n)]
-        X = [_joint_x(ms, i, q_s[i]) for i in range(n)]
+        X = [_body_x(ms, i, q_s) for i in range(ms.nb)]
         _, _, _, c = _rnea_sweeps_lane(ms, X, qd_s, None, gravity)
         Minv = minv_lane(ms, X)
         uc = [u_s[j] - c[j] for j in range(n)]
         qdd = [ls.dot(Minv[i], uc) for i in range(n)]
         for i in range(n):
             qd_new = qd_s[i] + dt * qdd[i]
-            out_ref[n + i] = qd_new
+            out_ref[nq + i] = qd_new
             out_ref[i] = q_s[i] + dt * qd_new
 
-    spec_x = pl.BlockSpec((2 * n, 8, L), lambda b: (0, 0, b),
+    spec_x = pl.BlockSpec((nx, 8, L), lambda b: (0, 0, b),
                           memory_space=pltpu.VMEM)
     spec_u = pl.BlockSpec((n, 8, L), lambda b: (0, 0, b),
                           memory_space=pltpu.VMEM)
@@ -675,7 +771,7 @@ def fd_step_minv_fused(model: RobotModel, x, u, dt: float,
         grid=(nblocks,),
         in_specs=[spec_x, spec_u],
         out_specs=spec_x,
-        out_shape=jax.ShapeDtypeStruct((2 * n, 8, Bp // 8), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((nx, 8, Bp // 8), x.dtype),
         interpret=interpret,
-    )(_pack(x, 2 * n), _pack(u, n))
+    )(_pack(x, nx), _pack(u, n))
     return _unpack(out, Bp)[:B]

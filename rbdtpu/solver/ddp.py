@@ -58,6 +58,10 @@ class DDPConfig:
     n_alphas: int = 8  # parallel line-search ladder 1, 1/2, ..., 2^-(n-1)
     tol_dJ: float = 1e-9
     fused: bool = False  # use the fused Pallas step kernel for rollouts
+    # fused Pallas linearization: None = auto (on for fixed-base when fused;
+    # off for floating base, whose larger kernel costs ~20 min of Mosaic
+    # compile at quadruped size — correct and available, opt-in)
+    fused_linearize: bool | None = None
     # O(log H) associative-scan Riccati (solver.parallel_riccati) instead of
     # the sequential scan — exact-regularization convention
     parallel_riccati: bool = False
@@ -99,7 +103,12 @@ def _make_step(model, config):
 
 
 def _make_linearize(model, config):
-    if config.fused and not model.floating_base:
+    use_fused_lin = (
+        config.fused_linearize
+        if config.fused_linearize is not None
+        else (config.fused and not model.floating_base)
+    )
+    if use_fused_lin:
         from ..kernels.fused import linearize_fused
 
         def lin(X, U):

@@ -77,6 +77,65 @@ def test_fd_step_minv_fused_matches_jnp(arm7, rng):
                                rtol=1e-8, atol=1e-8)
 
 
+def _mini_fb_model():
+    """Tiny floating-base model (base + 2 links) — keeps pallas interpret-mode
+    runtime tractable for the fb linearize/minv tests (the quadruped-size
+    kernels are validated compiled, on hardware, by the benchmark's finite
+    checks)."""
+    from rbdtpu.model import parse_urdf
+
+    urdf = """<robot name=\"minifb\">
+    <link name=\"base\"><inertial><origin xyz=\"0 0 0\"/><mass value=\"3\"/>
+      <inertia ixx=\"0.05\" iyy=\"0.05\" izz=\"0.05\" ixy=\"0\" ixz=\"0\" iyz=\"0\"/></inertial></link>
+    <link name=\"l1\"><inertial><origin xyz=\"0 0 -0.15\"/><mass value=\"1\"/>
+      <inertia ixx=\"0.01\" iyy=\"0.01\" izz=\"0.002\" ixy=\"0\" ixz=\"0\" iyz=\"0\"/></inertial></link>
+    <link name=\"l2\"><inertial><origin xyz=\"0 0 -0.1\"/><mass value=\"0.5\"/>
+      <inertia ixx=\"0.005\" iyy=\"0.005\" izz=\"0.001\" ixy=\"0\" ixz=\"0\" iyz=\"0\"/></inertial></link>
+    <joint name=\"j1\" type=\"revolute\"><origin xyz=\"0.1 0 -0.1\"/>
+      <parent link=\"base\"/><child link=\"l1\"/><axis xyz=\"0 1 0\"/></joint>
+    <joint name=\"j2\" type=\"revolute\"><origin xyz=\"0 0 -0.3\"/>
+      <parent link=\"l1\"/><child link=\"l2\"/><axis xyz=\"1 0 0\"/></joint>
+    </robot>"""
+    return parse_urdf(urdf, dtype=np.float64, floating_base=True)
+
+
+def test_linearize_fused_floating_base(rng):
+    """fb fused linearization (lane minv + lane gradient + AD root-pose
+    patch) matches the jnp linearize path."""
+    from rbdtpu.kernels import linearize_fused
+    from rbdtpu.solver import linearize_trajectory
+
+    m = _mini_fb_model()
+    dt = 0.01
+    Bs = 8
+    q = jnp.array(rng.uniform(-0.3, 0.3, (Bs, m.nq)))
+    qd = jnp.array(rng.uniform(-0.3, 0.3, (Bs, m.nv)))
+    u = jnp.array(rng.uniform(-1, 1, (Bs, m.nv)))
+    A_k, B_k = linearize_fused(m, q, qd, u, dt)
+    X = jnp.concatenate([q, qd], -1)[:, None, :]
+    X2 = jnp.concatenate([X, X], axis=1)
+    A_j, B_j = linearize_trajectory(m, X2, u[:, None, :], dt)
+    np.testing.assert_allclose(np.asarray(A_k), np.asarray(A_j[:, 0]),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(B_k), np.asarray(B_j[:, 0]),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_fd_step_minv_fused_floating_base(rng):
+    from rbdtpu.kernels import fd_step_minv_fused
+
+    m = _mini_fb_model()
+    dt = 0.01
+    x = jnp.array(rng.uniform(-0.3, 0.3, (B, m.nq + m.nv)))
+    u = jnp.array(rng.uniform(-1, 1, (B, m.nv)))
+    x_k = fd_step_minv_fused(m, x, u, dt)
+    q, qd = split_state(m, x)
+    qdd = dyn.forward_dynamics(m, q, qd, u)
+    x_j = euler_semi_implicit(m, x, qdd, dt)
+    np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_j),
+                               rtol=1e-8, atol=1e-9)
+
+
 def test_fused_floating_base_rnea_and_step(quadruped12fb, rng):
     """Floating-base fused kernels (rpy root transform + 6x6 root Cholesky)
     match the jnp algorithms."""
