@@ -166,8 +166,7 @@ def bench_numpy_baseline(model):
 
 def bench_mpc_solves(model):
     """DDP MPC solves/s (BASELINE.json configs[2]: iiwa reaching, H=100,
-    rnea_grad linearization).  Gated behind RBDTPU_BENCH_MPC=1 — the full-solver
-    compile is minutes-long on a cold cache."""
+    rnea_grad linearization)."""
     from rbdtpu.solver import DDPConfig, ddp_solve, ee_reaching_cost
 
     H, iters, Bm = 100, 10, 128
@@ -300,13 +299,18 @@ def main():
         "vs_baseline": round(vs, 1) if vs else None,
         "fused_aba_rollout_steps_per_s": round(bench_fused_rollout(model)),
     }
-    if os.environ.get("RBDTPU_BENCH_MPC") == "1":
+    # Solver headline configs (BASELINE.json configs[2..4]) run BY DEFAULT so
+    # the driver-captured BENCH json certifies every claimed number
+    # (VERDICT.md round-1 item 1).  Set RBDTPU_BENCH_<X>=0 to skip one when
+    # iterating locally.  The persistent compile cache (above) keeps warm
+    # reruns to seconds.
+    if os.environ.get("RBDTPU_BENCH_MPC") != "0":
         result["mpc_solves_per_s_H100"] = round(bench_mpc_solves(model))
-    if os.environ.get("RBDTPU_BENCH_QUADRUPED") == "1":
+    if os.environ.get("RBDTPU_BENCH_QUADRUPED") != "0":
         result["quadruped_1024scen_solves_per_s"] = round(
             bench_quadruped_mpc()
         )
-    if os.environ.get("RBDTPU_BENCH_HUMANOID") == "1":
+    if os.environ.get("RBDTPU_BENCH_HUMANOID") != "0":
         result["humanoid_hybrid_solves_per_s"] = round(
             bench_humanoid_hybrid(), 1
         )

@@ -7,16 +7,21 @@ from .fused import (
     rnea_lane,
     aba_lane,
     minv_lane,
-    rnea_grad_lane,
     rnea_fused,
     fd_step_fused,
     fd_step_minv_fused,
     rollout_fused,
+)
+from .colvec import (
+    minv_colvec,
+    grad_pass_colvec,
+    linearize_parts_fused,
     linearize_fused,
 )
 
 __all__ = [
-    "ModelStatic", "get_static", "rnea_lane", "aba_lane",
-    "minv_lane", "rnea_grad_lane",
-    "rnea_fused", "fd_step_fused", "fd_step_minv_fused", "rollout_fused", "linearize_fused",
+    "ModelStatic", "get_static", "rnea_lane", "aba_lane", "minv_lane",
+    "rnea_fused", "fd_step_fused", "fd_step_minv_fused", "rollout_fused",
+    "minv_colvec", "grad_pass_colvec", "linearize_parts_fused",
+    "linearize_fused",
 ]

@@ -8,9 +8,10 @@ traced kernel as python floats, producing model-specialized code — the
 TPU-native analog of the robot-specific codegen the reference was built to
 validate (README.md:5).
 
-Fixed-base models only (the floating-base root needs a 6x6 lane-scalar
-inverse; fb callers use the jnp path).  Fallback: off-TPU the same kernels run
-under pallas interpret mode, bit-matching semantics for tests.
+Fixed AND floating base (the fb root uses the rpy spatial transform and the
+unrolled 6x6 lane Cholesky).  The fused DDP linearization lives in
+kernels.colvec (columns-in-sublanes layout).  Fallback: off-TPU the same
+kernels run under pallas interpret mode, bit-matching semantics for tests.
 """
 from __future__ import annotations
 
@@ -135,15 +136,17 @@ def rnea_lane(ms: ModelStatic, q, qd, qdd=None, gravity: float = -9.81):
     return tau
 
 
-def aba_lane(ms: ModelStatic, q, qd, tau, gravity: float = -9.81):
-    """Lane-scalar ABA: returns qdd (list of n lane-scalars)."""
+def aba_lane(ms: ModelStatic, q, qd, tau, gravity: float = -9.81, X=None):
+    """Lane-scalar ABA: returns qdd (list of n lane-scalars).  Pass
+    precomputed transforms via ``X`` to share them with other sweeps."""
     nb = ms.nb
     a_grav = [0.0, 0.0, 0.0, 0.0, 0.0, -gravity]
-    X, v, cb, pA = [None] * nb, [None] * nb, [None] * nb, [None] * nb
+    v, cb, pA = [None] * nb, [None] * nb, [None] * nb
+    X = list(X) if X is not None else [None] * nb
     IA = [[row[:] for row in ms.I[i]] for i in range(nb)]
     for i in range(nb):
         p = ms.parent[i]
-        Xi = _body_x(ms, i, q)
+        Xi = X[i] if X[i] is not None else _body_x(ms, i, q)
         vJ = _vj(ms, i, qd)
         if p == -1:
             vi = vJ
@@ -369,7 +372,7 @@ def rollout_fused(model: RobotModel, x0, U, dt: float,
 
 
 # ----------------------------------------------------------------------- #
-# fused DDP linearization: (q, qd, u) -> discrete A, B in ONE kernel      #
+# lane-scalar direct M^-1 (per-column unrolled; used by the step kernel)  #
 # ----------------------------------------------------------------------- #
 
 def minv_lane(ms: ModelStatic, X):
@@ -485,247 +488,6 @@ def _rnea_sweeps_lane(ms: ModelStatic, X, qd, qdd, gravity):
         if p != -1:
             f[p] = ls.vadd(f[p], ls.matvec_T(X[i], f[i]))
     return v, a, f, tau
-
-
-def rnea_grad_lane(ms: ModelStatic, X, qd, v, a, f, gravity):
-    """Lane-scalar analytical RNEA gradient (both fpass+bpass fused).
-    Returns (dc_dq, dc_dqd): n x n nested lists of lane-scalars."""
-    nb = ms.nb
-    n = ms.nv
-    a_grav = [0.0, 0.0, 0.0, 0.0, 0.0, -gravity]
-    zc = lambda: [ls.vec6(0.0) for _ in range(n)]
-    dvq, daq, dfq = [None] * nb, [None] * nb, [None] * nb
-    dvd, dad, dfd = [None] * nb, [None] * nb, [None] * nb
-    for i in range(nb):
-        p = ms.parent[i]
-        Xi = X[i]
-        if ms.fb and i == 0:
-            # dq joint-columns of the root are zero (and the 6 root-POSE
-            # columns are filled outside via AD tangents); dqd: eye block
-            dvq_i, daq_i = zc(), zc()
-            dfq_i = zc()
-            dvd_i = zc()
-            for k in range(6):
-                dvd_i[k] = [1.0 if r == k else 0.0 for r in range(6)]
-            dad_i = zc()
-            Iv = ls.matvec(ms.I[i], v[i])
-            mk_dfd = lambda dv_c: ls.vadd(
-                ls.cross_force(dv_c, Iv),
-                ls.cross_force(v[i], ls.matvec(ms.I[i], dv_c)),
-            )
-            dfd_i = [mk_dfd(dvd_i[c]) for c in range(n)]
-            dvq[i], daq[i], dfq[i] = dvq_i, daq_i, dfq_i
-            dvd[i], dad[i], dfd[i] = dvd_i, dad_i, dfd_i
-            continue
-        S = ms.S[i]
-        ci = ms.vi(i)
-        qd_i = qd[ci]
-        if p == -1:
-            dvq_i = zc()
-            daq_b = zc()
-            Xa_ref = ls.matvec(Xi, a_grav)
-            dvd_i = zc()
-            dvd_i[ci] = list(S)
-            dad_b = zc()
-        else:
-            dvq_i = [ls.matvec(Xi, dvq[p][c]) for c in range(n)]
-            Xv = ls.matvec(Xi, v[p])
-            dvq_i[ci] = ls.vadd(dvq_i[ci], ls.cross_motion(Xv, S))
-            daq_b = [ls.matvec(Xi, daq[p][c]) for c in range(n)]
-            Xa_ref = ls.matvec(Xi, a[p])
-            dvd_i = [ls.matvec(Xi, dvd[p][c]) for c in range(n)]
-            dvd_i[ci] = ls.vadd(dvd_i[ci], list(S))
-            dad_b = [ls.matvec(Xi, dad[p][c]) for c in range(n)]
-        daq_i = [
-            ls.vadd(daq_b[c], ls.vscale(qd_i, ls.cross_motion(dvq_i[c], S)))
-            for c in range(n)
-        ]
-        daq_i[ci] = ls.vadd(daq_i[ci], ls.cross_motion(Xa_ref, S))
-        dad_i = [
-            ls.vadd(dad_b[c], ls.vscale(qd_i, ls.cross_motion(dvd_i[c], S)))
-            for c in range(n)
-        ]
-        dad_i[ci] = ls.vadd(dad_i[ci], ls.cross_motion(v[i], S))
-        Iv = ls.matvec(ms.I[i], v[i])
-        mk_df = lambda da_c, dv_c: ls.vadd(
-            ls.vadd(ls.matvec(ms.I[i], da_c), ls.cross_force(dv_c, Iv)),
-            ls.cross_force(v[i], ls.matvec(ms.I[i], dv_c)),
-        )
-        dfq_i = [mk_df(daq_i[c], dvq_i[c]) for c in range(n)]
-        dfd_i = [mk_df(dad_i[c], dvd_i[c]) for c in range(n)]
-        dvq[i], daq[i], dfq[i] = dvq_i, daq_i, dfq_i
-        dvd[i], dad[i], dfd[i] = dvd_i, dad_i, dfd_i
-
-    dcq = [[0.0] * n for _ in range(n)]
-    dcd = [[0.0] * n for _ in range(n)]
-    for i in range(nb - 1, -1, -1):
-        p = ms.parent[i]
-        if ms.fb and i == 0:
-            for k in range(6):
-                for c in range(n):
-                    dcq[k][c] = dfq[0][c][k]
-                    dcd[k][c] = dfd[0][c][k]
-            continue
-        S = ms.S[i]
-        ci = ms.vi(i)
-        for c in range(n):
-            dcq[ci][c] = ls.dot(S, dfq[i][c])
-            dcd[ci][c] = ls.dot(S, dfd[i][c])
-        if p != -1:
-            delta = ls.matvec_T(
-                X[i], ls.vscale(-1.0, ls.cross_motion(f[i], S))
-            )
-            for c in range(n):
-                dfq[p][c] = ls.vadd(dfq[p][c], ls.matvec_T(X[i], dfq[i][c]))
-                dfd[p][c] = ls.vadd(dfd[p][c], ls.matvec_T(X[i], dfd[i][c]))
-            dfq[p][ci] = ls.vadd(dfq[p][ci], delta)
-    return dcq, dcd
-
-
-def fd_linearize_lane(ms: ModelStatic, q, qd, u, dt: float, gravity: float):
-    """The entire DDP knot linearization in lane-scalars: bias RNEA -> Minv ->
-    qdd -> full RNEA -> analytic gradient -> discrete (A, B) of the
-    semi-implicit Euler step.  Returns (A (2n x 2n), B (2n x n), Minv, qdd).
-
-    Floating base: the 6 root-POSE columns of the position gradient are left
-    zero in A (the wrapper patches them with 6 AD tangents, mirroring
-    dynamics.rnea_grad)."""
-    nb = ms.nb
-    n = ms.nv
-    X = [_body_x(ms, i, q) for i in range(nb)]
-    # bias force c (qdd = 0)
-    _, _, _, c = _rnea_sweeps_lane(ms, X, qd, None, gravity)
-    Minv = minv_lane(ms, X)
-    # qdd = Minv (u - c)
-    uc = [u[j] - c[j] for j in range(n)]
-    qdd = [
-        ls.dot(Minv[i], uc)
-        for i in range(n)
-    ]
-    # full kinematics + accumulated forces at qdd
-    v, a, f, _ = _rnea_sweeps_lane(ms, X, qd, qdd, gravity)
-    dcq, dcd = rnea_grad_lane(ms, X, qd, v, a, f, gravity)
-    # dqdd_dq = -Minv @ dcq ; dqdd_dqd = -Minv @ dcd
-    neg_mm = lambda M, D: [
-        [
-            ls._mul(-1.0, ls.dot(M[i], [D[k][j] for k in range(n)]))
-            for j in range(n)
-        ]
-        for i in range(n)
-    ]
-    gq = neg_mm(Minv, dcq)
-    gd = neg_mm(Minv, dcd)
-    # discrete A, B (integrate.step_jacobians closed forms)
-    dt2 = dt * dt
-    A = [[0.0] * (2 * n) for _ in range(2 * n)]
-    B = [[0.0] * n for _ in range(2 * n)]
-    for i in range(n):
-        for j in range(n):
-            A[i][j] = ls._add(1.0 if i == j else 0.0, ls._mul(dt2, gq[i][j]))
-            A[i][n + j] = ls._add(
-                dt if i == j else 0.0, ls._mul(dt2, gd[i][j])
-            )
-            A[n + i][j] = ls._mul(dt, gq[i][j])
-            A[n + i][n + j] = ls._add(
-                1.0 if i == j else 0.0, ls._mul(dt, gd[i][j])
-            )
-            B[i][j] = ls._mul(dt2, Minv[i][j])
-            B[n + i][j] = ls._mul(dt, Minv[i][j])
-    return A, B, Minv, qdd
-
-
-def linearize_fused(model: RobotModel, q, qd, u, dt: float,
-                    gravity: float = -9.81, block_lanes: int = 256,
-                    interpret: bool | None = None):
-    """Fused DDP linearization: q/qd/u (B, n) -> A (B, 2n, 2n), B (B, 2n, n).
-
-    One pallas kernel per batch tile runs the full pipeline (the "fused
-    batched Jacobian kernel feeding the DDP backward sweep", SURVEY.md C4 /
-    BASELINE.json north star) with zero intermediate HBM traffic.
-    """
-    ms = get_static(model)
-    n = ms.nv
-    B_orig = q.shape[-2]
-    if interpret is None:
-        interpret = not _on_tpu()
-    Bsz = _pad_batch(B_orig)
-    if Bsz != B_orig:
-        padz = lambda t: jnp.concatenate(
-            [t, jnp.zeros((Bsz - B_orig,) + t.shape[1:], t.dtype)], axis=0)
-        q, qd, u = padz(q), padz(qd), padz(u)
-    L = _pick_lanes(Bsz, block_lanes)
-    nblocks = (Bsz // 8) // L
-
-    nq = ms.nq
-
-    def kernel(q_ref, qd_ref, u_ref, A_ref, B_ref, M_ref, qdd_ref):
-        q_s = [q_ref[i] for i in range(nq)]
-        qd_s = [qd_ref[i] for i in range(n)]
-        u_s = [u_ref[i] for i in range(n)]
-        A, Bm, Minv, qdd = fd_linearize_lane(ms, q_s, qd_s, u_s, dt, gravity)
-        like = q_s[0]
-        lane = lambda x: jnp.full_like(like, x) if ls.is_static(x) else x
-        for i in range(2 * n):
-            for j in range(2 * n):
-                A_ref[i, j] = lane(A[i][j])
-            for j in range(n):
-                B_ref[i, j] = lane(Bm[i][j])
-        for i in range(n):
-            qdd_ref[i] = lane(qdd[i])
-            for j in range(n):
-                M_ref[i, j] = lane(Minv[i][j])
-
-    spec_q = pl.BlockSpec((nq, 8, L), lambda b: (0, 0, b),
-                          memory_space=pltpu.VMEM)
-    spec_in = pl.BlockSpec((n, 8, L), lambda b: (0, 0, b),
-                           memory_space=pltpu.VMEM)
-    spec_A = pl.BlockSpec((2 * n, 2 * n, 8, L), lambda b: (0, 0, 0, b),
-                          memory_space=pltpu.VMEM)
-    spec_B = pl.BlockSpec((2 * n, n, 8, L), lambda b: (0, 0, 0, b),
-                          memory_space=pltpu.VMEM)
-    spec_M = pl.BlockSpec((n, n, 8, L), lambda b: (0, 0, 0, b),
-                          memory_space=pltpu.VMEM)
-    A_pk, B_pk, M_pk, qdd_pk = pl.pallas_call(
-        kernel,
-        grid=(nblocks,),
-        in_specs=[spec_q, spec_in, spec_in],
-        out_specs=(spec_A, spec_B, spec_M, spec_in),
-        out_shape=(
-            jax.ShapeDtypeStruct((2 * n, 2 * n, 8, Bsz // 8), q.dtype),
-            jax.ShapeDtypeStruct((2 * n, n, 8, Bsz // 8), q.dtype),
-            jax.ShapeDtypeStruct((n, n, 8, Bsz // 8), q.dtype),
-            jax.ShapeDtypeStruct((n, 8, Bsz // 8), q.dtype),
-        ),
-        interpret=interpret,
-    )(_pack(q, nq), _pack(qd, n), _pack(u, n))
-    # (r, c, 8, B/8) -> (B, r, c)
-    unpk = lambda t: jnp.transpose(
-        t.reshape(t.shape[0], t.shape[1], Bsz), (2, 0, 1)
-    )[:B_orig]
-    A_out, B_out = unpk(A_pk), unpk(B_pk)
-    if ms.fb:
-        # patch the 6 root-POSE columns of the position gradient with AD
-        # tangents through the fb-correct RNEA (see dynamics.rnea_grad)
-        from ..dynamics.rnea import rnea as rnea_jnp
-
-        Minv_out = unpk(M_pk)
-        qdd_out = _unpack(qdd_pk, Bsz)[:B_orig]
-        qo, qdo, _ = (q[:B_orig], qd[:B_orig], None)
-
-        def tau_of_root(r6, q_rest, qd_, qdd_):
-            q_full = jnp.concatenate([r6, q_rest], axis=-1)
-            return rnea_jnp(model, q_full, qd_, qdd_, gravity)[0]
-
-        J6 = jax.vmap(jax.jacfwd(tau_of_root, argnums=0))(
-            qo[..., 0:6], qo[..., 6:], qdo, qdd_out
-        )
-        from ..spatial.batched import mm as _mm
-
-        gq6 = -_mm(Minv_out, J6)  # (B, n, 6)
-        dt2 = dt * dt
-        A_out = A_out.at[..., :n, 0:6].add(dt2 * gq6)
-        A_out = A_out.at[..., n:, 0:6].add(dt * gq6)
-    return A_out, B_out
 
 
 def fd_step_minv_fused(model: RobotModel, x, u, dt: float,

@@ -251,6 +251,28 @@ def rpy_R(sr, cr, sp, cp, sy, cy):
     ]
 
 
+def rpy_dR(sr, cr, sp, cp, sy, cy):
+    """(dR/droll, dR/dpitch, dR/dyaw) of the active rotation
+    R = Rz(yaw) Ry(pitch) Rx(roll) (``rpy_R``), each a 3x3 nested list of
+    lane-scalars."""
+    dRr = [
+        [0.0, cy * sp * cr + sy * sr, -(cy * sp * sr) + sy * cr],
+        [0.0, sy * sp * cr - cy * sr, -(sy * sp * sr) - cy * cr],
+        [0.0, cp * cr, -(cp * sr)],
+    ]
+    dRp = [
+        [-(cy * sp), cy * cp * sr, cy * cp * cr],
+        [-(sy * sp), sy * cp * sr, sy * cp * cr],
+        [-cp, -(sp * sr), -(sp * cr)],
+    ]
+    dRy = [
+        [-(sy * cp), -(sy * sp * sr) - cy * cr, -(sy * sp * cr) + cy * sr],
+        [cy * cp, cy * sp * sr - sy * cr, cy * sp * cr + sy * sr],
+        [0.0, 0.0, 0.0],
+    ]
+    return dRr, dRp, dRy
+
+
 def floating_x(Xtree_static, px, py, pz, R):
     """Spatial motion transform of the floating 6-DoF root:
     X = plux(R^T, p) @ Xtree  (world -> body)."""

@@ -17,7 +17,7 @@ import numpy as np
 class NumpyDDP:
     def __init__(self, ref, nq, nv, *, dt=0.01, gravity=-9.81,
                  iters=20, reg_init=1e-6, reg_min=1e-9, reg_max=1e6,
-                 reg_up=10.0, reg_down=0.5, n_alphas=8):
+                 reg_up=10.0, reg_down=0.5, n_alphas=8, tol_dJ=1e-12):
         self.ref = ref
         self.nq, self.nv = nq, nv
         self.dt, self.gravity = dt, gravity
@@ -25,11 +25,19 @@ class NumpyDDP:
         self.reg_init, self.reg_min, self.reg_max = reg_init, reg_min, reg_max
         self.reg_up, self.reg_down = reg_up, reg_down
         self.alphas = 2.0 ** -np.arange(n_alphas)
+        self.tol_dJ = tol_dJ
 
     # --- dynamics through the reference ---
     def fd(self, q, qd, u):
-        # reference forward_dynamics has no gravity parameter
-        # (RBDReference.py:1371) — it is pinned to the default -9.81
+        # Minv+RNEA route (RBDReference.py:1371) — pair it with
+        # DDPConfig(rollout_route="minv") on the JAX side so both executions
+        # use the SAME algorithm: at H=100 x 10 iters the closed-loop
+        # amplification of a route mismatch (ABA vs Minv-solve, ~1e-13/step)
+        # exceeds the 1e-6 parity budget.  (The reference's own aba
+        # :817 could not serve here: its fixed-base velocity terms are
+        # inconsistent with its forward_dynamics — PARITY.md C7.)
+        # No gravity parameter exists on forward_dynamics; it is pinned to
+        # the default -9.81.
         assert self.gravity == -9.81
         return np.asarray(
             self.ref.forward_dynamics(q.copy(), qd.copy(), u.copy())
@@ -90,7 +98,10 @@ class NumpyDDP:
                     Jn = self.traj_cost(cost, Xn, Un)
                     if np.isfinite(Jn) and Jn < bestJ:
                         bestJ, bestXU = Jn, (Xn, Un)
-                if bestJ < J:
+                # deterministic acceptance threshold, mirroring
+                # solver.ddp (DDPConfig.tol_dJ): rounding-level improvements
+                # must be rejected identically on both executions
+                if bestJ < J - self.tol_dJ * max(1.0, abs(J)):
                     X, U = bestXU
                     J = bestJ
                     reg = max(self.reg_min, reg * self.reg_down)

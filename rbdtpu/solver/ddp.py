@@ -56,15 +56,24 @@ class DDPConfig:
     reg_up: float = 10.0
     reg_down: float = 0.5
     n_alphas: int = 8  # parallel line-search ladder 1, 1/2, ..., 2^-(n-1)
-    tol_dJ: float = 1e-9
+    # minimum RELATIVE improvement to accept a candidate: J_new <
+    # J - tol_dJ*max(1, |J|).  Makes the accept/reject decision deterministic
+    # at convergence — without it, rounding-level (~1e-13) "improvements" are
+    # accepted or rejected inconsistently across executions, which breaks
+    # control parity between independent implementations of the same solver
+    tol_dJ: float = 1e-12
     fused: bool = False  # use the fused Pallas step kernel for rollouts
-    # fused Pallas linearization: None = auto (on for fixed-base when fused;
-    # off for floating base, whose larger kernel costs ~20 min of Mosaic
-    # compile at quadruped size — correct and available, opt-in)
+    # fused Pallas linearization: None = auto (follows ``fused``; the colvec
+    # columns-in-sublanes kernel covers fixed AND floating base with
+    # fast Mosaic compiles — kernels.colvec)
     fused_linearize: bool | None = None
     # O(log H) associative-scan Riccati (solver.parallel_riccati) instead of
     # the sequential scan — exact-regularization convention
     parallel_riccati: bool = False
+    # rollout dynamics route for the un-fused step: "aba" (O(n), default) or
+    # "minv" (Minv + RNEA, BASELINE configs[1] path — the exact mirror of the
+    # oracle's forward_dynamics for control-parity runs)
+    rollout_route: str = "aba"
 
 
 class DDPState(NamedTuple):
@@ -75,9 +84,14 @@ class DDPState(NamedTuple):
     dJ: jax.Array  # (...) last accepted improvement
 
 
-def _step_plain(model, x, u, dt, gravity):
+def _step_plain(model, x, u, dt, gravity, route="aba"):
     q, qd = split_state(model, x)
-    qdd = aba(model, q, qd, u, gravity=gravity)
+    if route == "minv":
+        from ..dynamics.fd import forward_dynamics
+
+        qdd = forward_dynamics(model, q, qd, u, gravity=gravity)
+    else:
+        qdd = aba(model, q, qd, u, gravity=gravity)
     return euler_semi_implicit(model, x, qdd, dt)
 
 
@@ -99,17 +113,19 @@ def _make_step(model, config):
             return _step_plain(model, x, u, config.dt, config.gravity)
 
         return step
-    return lambda x, u: _step_plain(model, x, u, config.dt, config.gravity)
+    return lambda x, u: _step_plain(
+        model, x, u, config.dt, config.gravity, config.rollout_route
+    )
 
 
 def _make_linearize(model, config):
     use_fused_lin = (
         config.fused_linearize
         if config.fused_linearize is not None
-        else (config.fused and not model.floating_base)
+        else config.fused
     )
     if use_fused_lin:
-        from ..kernels.fused import linearize_fused
+        from ..kernels.colvec import linearize_fused
 
         def lin(X, U):
             q, qd = split_state(model, X[..., :-1, :])
@@ -304,7 +320,8 @@ def ddp_solve(
 
         X_best = take(Xs)
         U_best = take(Us)
-        improved = ok & (J_best < state.J)
+        min_dJ = config.tol_dJ * jnp.maximum(1.0, jnp.abs(state.J))
+        improved = ok & (J_best < state.J - min_dJ)
         sel = lambda c, a, b: jnp.where(
             c.reshape(c.shape + (1,) * (a.ndim - c.ndim)), a, b
         )
