@@ -49,13 +49,17 @@ def _cross_force_by(v, M):
     return jnp.swapaxes(out, -1, -2)
 
 
-def rnea_grad_fpass(model: RobotModel, Xs, qd, v, a, gravity=-9.81):
+def rnea_grad_fpass(model: RobotModel, Xs, qd, v, a, gravity=-9.81,
+                    full: bool = False):
     """Both forward derivative sweeps (dq and dqd) fused in one pass over bodies
     (they share X, v, Iv and the column-cross structure; reference runs them as
     two separate loops :1127 and :1189).
 
     v, a: (..., NB, 6) stacked kinematics from rnea.
-    Returns (df_dq, df_dqd): lists of (..., 6, n) per body.
+    Returns (df_dq, df_dqd): lists of (..., 6, n) per body; with ``full=True``
+    all six derivative lists (dv_dq, da_dq, df_dq, dv_dqd, da_dqd, df_dqd) —
+    the reference's separately-returned fpass intermediates (:1127, :1189),
+    surfaced for the compat layer's granular pass methods.
 
     Floating base: valid for the dqd pass and the JOINT columns of the dq
     pass (the root's S = eye(6) is constant and joint coordinates do not move
@@ -131,6 +135,8 @@ def rnea_grad_fpass(model: RobotModel, Xs, qd, v, a, gravity=-9.81):
         dv_q[i], da_q[i], df_q[i] = dvq, daq, dfq
         dv_d[i], da_d[i], df_d[i] = dvd, dad, dfd
 
+    if full:
+        return dv_q, da_q, df_q, dv_d, da_d, df_d
     return df_q, df_d
 
 
@@ -160,8 +166,13 @@ def rnea_grad_bpass(model: RobotModel, Xs, f, df_q, df_d, use_damping=False):
         if p != -1:
             Xi = Xs[i]
             df_q[p] = mtm(Xi, df_q[i]) + df_q[p]
-            # fxS(S, f) = -crm(f) @ S (reference :166-168); inject into column qi
-            delta = mtv(Xi, -cross_motion(f[..., i, :], S))
+            # d(X^T f)/dq_i correction: X^T crf(S) f, injected into column qi.
+            # The reference uses fxS(S, f) = -crm(f) @ S here (:166-168,
+            # :1278) which equals crf(S) f ONLY for angular-only S — a
+            # reference bug for prismatic joints (its rnea_grad disagrees
+            # with finite differences of its own rnea on prismatic chains;
+            # found by the exact native second-order sweep, tests/test_idsva).
+            delta = mtv(Xi, cross_force(S, f[..., i, :]))
             df_q[p] = df_q[p].at[..., :, qi].add(delta)
             df_d[p] = mtm(Xi, df_d[i]) + df_d[p]
 

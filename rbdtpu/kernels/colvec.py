@@ -224,9 +224,9 @@ def grad_pass_colvec(ms: ModelStatic, X, q, qd, v, a, f, oh, wrt: str,
         if p != -1:
             df[p] = ls.vadd(df[p], ls.matvec_T(X[i], df[i]))
             if wrt == "q":
-                delta = ls.matvec_T(
-                    X[i], ls.vscale(-1.0, ls.cross_motion(f[i], S))
-                )
+                # crf(S) f (NOT -f x S: that identity is revolute-only —
+                # see dynamics.rnea_grad.rnea_grad_bpass)
+                delta = ls.matvec_T(X[i], ls.cross_force(S, f[i]))
                 df[p] = [ls._add(df[p][r], ls._mul(oh(ci), delta[r]))
                          for r in range(6)]
     return dc

@@ -74,6 +74,11 @@ class DDPConfig:
     # "minv" (Minv + RNEA, BASELINE configs[1] path — the exact mirror of the
     # oracle's forward_dynamics for control-parity runs)
     rollout_route: str = "aba"
+    # FULL DDP (exact dynamics Hessians): fold the second-order forward-
+    # dynamics tensors (dynamics.fdsva_so — the native IDSVA-SO sweep,
+    # reference C10) into the backward pass (Qxx/Qux gain Vx . Fxx terms).
+    # Off = iLQR (Gauss-Newton), the usual default
+    exact_hessians: bool = False
 
 
 class DDPState(NamedTuple):
@@ -150,11 +155,17 @@ def _make_linearize(model, config):
     )
 
 
-def backward_pass(A, B, lx, lu, lxx, luu, lux, lfx, lfxx, reg):
+def backward_pass(A, B, lx, lu, lxx, luu, lux, lfx, lfxx, reg, fxx=None,
+                  dt=None):
     """Riccati sweep over the horizon (axis -3 of A is time when batched?
     No — time is the LEADING axis after vmovement below).  All args carry
     arbitrary leading batch dims with time at axis -(rank_of_entry): callers
     pass (..., H, n, m) tensors; the scan runs over the H axis.
+
+    ``fxx``: optional (Hq, Hvq, Hvv, Htq) second-order forward-dynamics
+    tensors, each (..., H, n, n, n) (dynamics.fdsva_so layout), for FULL DDP:
+    Qxx/Qux gain the Vx-contracted dynamics curvature of the semi-implicit
+    Euler step (requires ``dt``).
 
     Returns (k (..., H, nu), K (..., H, nu, nx), dV1 (...), ok (...))."""
     nu = lu.shape[-1]
@@ -176,6 +187,10 @@ def backward_pass(A, B, lx, lu, lxx, luu, lux, lfx, lfxx, reg):
             const[name] = arr
         else:
             timed[name] = tmove(arr, 3)
+    if fxx is not None:
+        nq2 = fxx[0].shape[-1]
+        for name, arr in zip(("Hq", "Hvq", "Hvv", "Htq"), fxx):
+            timed[name] = tmove(arr, 4)
 
     batch = lfx.shape[:-1]
     reg_b = jnp.broadcast_to(reg, batch)
@@ -193,13 +208,45 @@ def backward_pass(A, B, lx, lu, lxx, luu, lux, lfx, lfxx, reg):
         Qxx = lxx_s + mtm(A_s, VxxA)
         Quu = luu_s + mtm(B_s, VxxB)
         Qux = lux_s + mtm(B_s, VxxA)
-        Quu_reg = Quu + reg_b[..., None, None] * eye_u
-        # PD check + solves via unrolled batched Cholesky: non-PD -> NaN ->
-        # pd False (failure-detection guard, SURVEY.md §5)
-        L = cholesky_small(Quu_reg)
-        pd = jnp.all(jnp.isfinite(L), axis=(-1, -2))
-        k = -cholesky_solve_small(L, Qu)
-        K = -cholesky_solve_small(L, Qux)
+        if fxx is not None:
+            # FULL DDP: Vx . d2(step)/dz2.  The semi-implicit Euler step has
+            # qd' = qd + dt qdd, q' = q + dt qd', so every second derivative
+            # of x' is (dt^2 Vq'_r + dt Vqd'_r) d2qdd_r — one weight vector
+            # contracted against the fdsva_so tensors
+            n = nq2
+            w = dt * dt * Vx[..., :n] + dt * Vx[..., n:]
+            Wqq = jnp.einsum("...r,...rjk->...jk", w, extras["Hq"])
+            Wvq = jnp.einsum("...r,...rjk->...jk", w, extras["Hvq"])
+            Wvv = jnp.einsum("...r,...rjk->...jk", w, extras["Hvv"])
+            Wtq = jnp.einsum("...r,...rjk->...jk", w, extras["Htq"])
+            top = jnp.concatenate([Wqq, jnp.swapaxes(Wvq, -1, -2)], axis=-1)
+            bot = jnp.concatenate([Wvq, Wvv], axis=-1)
+            Qxx = Qxx + jnp.concatenate([top, bot], axis=-2)
+            Qux = Qux + jnp.concatenate(
+                [Wtq, jnp.zeros_like(Wtq)], axis=-1
+            )
+        if fxx is not None:
+            # FULL-DDP gains use STATE regularization (Tassa 2012): the
+            # exact-curvature terms can make Vxx/Quu indefinite far from the
+            # optimum, so gains come from Vxx + reg I while the value
+            # recursion keeps the exact quantities
+            eye_x = jnp.eye(A_s.shape[-1], dtype=lu.dtype)
+            VxxR = Vxx + reg_b[..., None, None] * eye_x
+            Quu_hat = luu_s + mtm(B_s, mm(VxxR, B_s)) + \
+                reg_b[..., None, None] * eye_u
+            Qux_hat = Qux - mtm(B_s, VxxA) + mtm(B_s, mm(VxxR, A_s))
+            L = cholesky_small(Quu_hat)
+            pd = jnp.all(jnp.isfinite(L), axis=(-1, -2))
+            k = -cholesky_solve_small(L, Qu)
+            K = -cholesky_solve_small(L, Qux_hat)
+        else:
+            Quu_reg = Quu + reg_b[..., None, None] * eye_u
+            # PD check + solves via unrolled batched Cholesky: non-PD -> NaN
+            # -> pd False (failure-detection guard, SURVEY.md §5)
+            L = cholesky_small(Quu_reg)
+            pd = jnp.all(jnp.isfinite(L), axis=(-1, -2))
+            k = -cholesky_solve_small(L, Qu)
+            K = -cholesky_solve_small(L, Qux)
         QuuK = mm(Quu, K)
         Vx_new = Qx + mtv(K, mv(Quu, k)) + mtv(K, Qu) + mtv(Qux, k)
         Vxx_new = Qxx + mtm(K, QuuK) + mtm(K, Qux) + mtm(Qux, K)
@@ -294,6 +341,12 @@ def ddp_solve(
         lx, lu, lxx, luu, lux, lfx, lfxx = quadratize_trajectory(
             cost, state.X, state.U
         )
+        fxx = None
+        if config.exact_hessians:
+            from ..dynamics.idsva import fdsva_so
+
+            q, qd = split_state(model, state.X[..., :-1, :])
+            fxx = fdsva_so(model, q, qd, state.U, gravity)
         if config.parallel_riccati:
             from .parallel_riccati import backward_pass_parallel
 
@@ -302,7 +355,8 @@ def ddp_solve(
             )
         else:
             k, K, dV1, ok = backward_pass(
-                A, B, lx, lu, lxx, luu, lux, lfx, lfxx, state.reg
+                A, B, lx, lu, lxx, luu, lux, lfx, lfxx, state.reg,
+                fxx=fxx, dt=dt,
             )
         Xs, Us, Js = forward_pass(
             model, cost, state.X, state.U, k, K, alphas, dt, gravity, step_fn

@@ -4,14 +4,115 @@ Layout verified empirically: all four second-order tensors match the reference
 at the identity permutation to ~1e-14 on the serial arm7 chain (the reference's
 accumulation at RBDReference.py:1448 is only correct for serial chains —
 SURVEY.md §2.1 — which arm7 is).
+
+The NATIVE direct sweep (idsva_so_native: world-frame IC/BC factors + masked
+dense einsum assembly, the TPU re-architecture of the reference's triple
+ancestor loop :1499-1603) is tested against double-forward-mode AD of plain
+RNEA — an implementation-independent ground truth — on a serial chain, a
+branched tree, and a mixed revolute/prismatic chain.  The prismatic case also
+locks in the rnea_grad bpass fix: the reference's -f x S force correction
+(:1278 via fxS :166-168) equals crf(S) f only for angular-only S, so its
+rnea_grad (and originally ours) disagreed with finite differences of its own
+rnea on prismatic models.
 """
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
-from rbdtpu.dynamics import idsva_so, fdsva_so, rnea_grad, crba
+from rbdtpu.dynamics import (
+    crba, fdsva_so, idsva_so, idsva_so_ad, idsva_so_native, rnea, rnea_grad,
+)
+from rbdtpu.model import parse_urdf
 
 from conftest import random_state
+
+
+def _tree_model(jtypes, parents):
+    """Small test tree with dense inertias and tilted joint frames."""
+    links = "".join(
+        f'<link name="l{i}"><inertial><origin xyz="0.05 0.02 0.1"/>'
+        f'<mass value="{1.0 + 0.2 * i}"/><inertia ixx="0.02" iyy="0.03" '
+        f'izz="0.015" ixy="0.002" ixz="0.001" iyz="0.003"/></inertial></link>'
+        for i in range(len(jtypes) + 1)
+    )
+    axes = ["0 1 0", "1 0 0", "0 0 1", "1 0 0", "0 1 0"]
+    joints = "".join(
+        f'<joint name="j{i}" type="{jtypes[i]}">'
+        f'<origin xyz="0.1 0.05 0.2" rpy="0.1 {0.1 * i} 0"/>'
+        f'<parent link="l{parents[i]}"/><child link="l{i + 1}"/>'
+        f'<axis xyz="{axes[i % len(axes)]}"/></joint>'
+        for i in range(len(jtypes))
+    )
+    return parse_urdf(
+        f'<robot name="t">{links}{joints}</robot>', dtype=np.float64
+    )
+
+
+@pytest.mark.parametrize(
+    "jtypes,parents",
+    [
+        (["revolute"] * 4, [0, 1, 2, 3]),            # serial chain
+        (["revolute"] * 5, [0, 1, 1, 2, 1]),         # branched tree
+        (["revolute", "prismatic", "revolute", "prismatic"], [0, 1, 2, 3]),
+    ],
+    ids=["chain", "branched", "prismatic"],
+)
+def test_idsva_native_matches_double_ad(jtypes, parents, rng):
+    """Native sweep == jacfwd(jacfwd(rnea)) — independent ground truth."""
+    m = _tree_model(jtypes, parents)
+    q = jnp.array(rng.uniform(-1, 1, m.nq))
+    qd = jnp.array(rng.uniform(-1, 1, m.nv))
+    qdd = jnp.array(rng.uniform(-1, 1, m.nv))
+    d2q, d2qd, dvdq, dM = idsva_so_native(m, q, qd, qdd)
+    tau_q = lambda q_: rnea(m, q_, qd, qdd)[0]
+    np.testing.assert_allclose(
+        np.asarray(d2q), np.asarray(jax.jacfwd(jax.jacfwd(tau_q))(q)),
+        atol=1e-11,
+    )
+    tau_qd = lambda qd_: rnea(m, q, qd_, qdd)[0]
+    np.testing.assert_allclose(
+        np.asarray(d2qd), np.asarray(jax.jacfwd(jax.jacfwd(tau_qd))(qd)),
+        atol=1e-11,
+    )
+    # dvdq[i, j, k] = d(dtau_i/dqd_j)/dq_k
+    np.testing.assert_allclose(
+        np.asarray(dvdq),
+        np.asarray(jax.jacfwd(
+            lambda q_: jax.jacfwd(lambda qd_: rnea(m, q_, qd_, qdd)[0])(qd)
+        )(q)),
+        atol=1e-11,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dM), np.asarray(jax.jacfwd(lambda q_: crba(m, q_))(q)),
+        atol=1e-11,
+    )
+
+
+def test_idsva_native_matches_ad_path(arm7, rng):
+    """Native sweep == AD-over-analytic-gradient path (the fb fallback)."""
+    q, qd, _ = random_state(rng, arm7)
+    qdd = rng.uniform(-1, 1, arm7.nv)
+    args = (jnp.array(q), jnp.array(qd), jnp.array(qdd))
+    for o_n, o_a in zip(idsva_so_native(arm7, *args), idsva_so_ad(arm7, *args)):
+        np.testing.assert_allclose(np.asarray(o_n), np.asarray(o_a), atol=1e-10)
+
+
+def test_rnea_grad_prismatic_matches_ad(rng):
+    """The first-order dq gradient is exact on prismatic joints (the
+    reference's own rnea_grad is NOT: its fxS force correction is
+    revolute-only — found by the native second-order sweep)."""
+    m = _tree_model(
+        ["revolute", "prismatic", "revolute", "prismatic"], [0, 1, 2, 3]
+    )
+    q = jnp.array(rng.uniform(-1, 1, m.nq))
+    qd = jnp.array(rng.uniform(-1, 1, m.nv))
+    qdd = jnp.array(rng.uniform(-1, 1, m.nv))
+    dcq, dcd = rnea_grad(m, q, qd, qdd, split=True)
+    J = jax.jacfwd(lambda q_: rnea(m, q_, qd, qdd)[0])(q)
+    np.testing.assert_allclose(np.asarray(dcq), np.asarray(J), atol=1e-11)
+    Jd = jax.jacfwd(lambda qd_: rnea(m, q, qd_, qdd)[0])(qd)
+    np.testing.assert_allclose(np.asarray(dcd), np.asarray(Jd), atol=1e-11)
 
 
 def test_idsva_so_parity(arm7, oracle, rng):

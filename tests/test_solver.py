@@ -2,6 +2,7 @@
 MPPI improvement, and linearization consistency with AD (SURVEY.md §4).
 Small horizon/model keeps CPU compile time bounded.
 """
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -142,3 +143,89 @@ def test_ddp_solve_is_jittable_and_vmappable(arm7, rng):
     Js = jax.vmap(solve)(Bx, BU)
     assert Js.shape == (3,)
     assert np.all(np.isfinite(np.asarray(Js)))
+
+
+def _pend2():
+    """Planar 2-link pendulum for swing-up (strong gravity nonlinearity)."""
+    from rbdtpu.model import parse_urdf
+
+    urdf = """<robot name=\"pend2\">
+    <link name=\"base\"/>
+    <link name=\"l1\"><inertial><origin xyz=\"0 0 -0.25\"/><mass value=\"1.0\"/>
+      <inertia ixx=\"0.02\" iyy=\"0.02\" izz=\"0.002\" ixy=\"0\" ixz=\"0\" iyz=\"0\"/></inertial></link>
+    <link name=\"l2\"><inertial><origin xyz=\"0 0 -0.25\"/><mass value=\"1.0\"/>
+      <inertia ixx=\"0.02\" iyy=\"0.02\" izz=\"0.002\" ixy=\"0\" ixz=\"0\" iyz=\"0\"/></inertial></link>
+    <joint name=\"j1\" type=\"revolute\"><origin xyz=\"0 0 0\"/><parent link=\"base\"/><child link=\"l1\"/><axis xyz=\"0 1 0\"/></joint>
+    <joint name=\"j2\" type=\"revolute\"><origin xyz=\"0 0 -0.5\"/><parent link=\"l1\"/><child link=\"l2\"/><axis xyz=\"0 1 0\"/></joint>
+    </robot>"""
+    return parse_urdf(urdf, dtype=np.float64)
+
+
+def test_exact_hessian_q_expansion_matches_ad(arm7, rng):
+    """The FULL-DDP backward pass folds Vx . d2(step)/dz2 into Qxx/Qux
+    exactly: the fdsva_so contraction equals AD Hessians of Vx . step."""
+    from rbdtpu.dynamics.idsva import fdsva_so
+    from rbdtpu.solver.integrate import euler_semi_implicit
+
+    n = arm7.nv
+    dt = 0.02
+    x = jnp.array(rng.uniform(-0.5, 0.5, 2 * n))
+    u = jnp.array(rng.uniform(-2, 2, n))
+    Vx = jnp.array(rng.standard_normal(2 * n))
+
+    def stepf(x_, u_):
+        q, qd = x_[:n], x_[n:]
+        return euler_semi_implicit(
+            arm7, x_, dyn.forward_dynamics(arm7, q, qd, u_), dt
+        )
+
+    s = lambda x_, u_: Vx @ stepf(x_, u_)
+    Hxx = np.asarray(jax.hessian(s, argnums=0)(x, u))
+    Hux = np.asarray(jax.jacfwd(jax.jacfwd(s, argnums=1), argnums=0)(x, u))
+
+    Hq, Hvq, Hvv, Htq = fdsva_so(arm7, x[:n], x[n:], u)
+    w = np.asarray(dt * dt * Vx[:n] + dt * Vx[n:])
+    Wqq = np.einsum("r,rjk->jk", w, np.asarray(Hq))
+    Wvq = np.einsum("r,rjk->jk", w, np.asarray(Hvq))
+    Wvv = np.einsum("r,rjk->jk", w, np.asarray(Hvv))
+    Wtq = np.einsum("r,rjk->jk", w, np.asarray(Htq))
+    np.testing.assert_allclose(
+        np.block([[Wqq, Wvq.T], [Wvq, Wvv]]), Hxx, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.concatenate([Wtq, np.zeros_like(Wtq)], axis=1), Hux, atol=1e-9
+    )
+
+
+@pytest.mark.slow
+def test_exact_hessian_ddp_converges_faster():
+    """On the expensive-control swing-up (large residual at the optimum —
+    the regime where Gauss-Newton contraction is slow), FULL DDP
+    (exact_hessians=True, fdsva_so curvature) converges in FEWER iterations
+    than iLQR and to a tighter gap (VERDICT round-1 item 4)."""
+    m = _pend2()
+    H, DT = 150, 0.02
+    x0 = jnp.zeros(4)
+    x_goal = jnp.array([np.pi, 0.0, 0.0, 0.0])
+    cost = quadratic_tracking_cost(
+        m, x_goal, w_q=0.1, w_qd=0.05, w_u=0.05, w_q_f=600.0, w_qd_f=60.0
+    )
+    U0 = jnp.zeros((H, m.nv))
+
+    ddp_state, J_ddp = ddp_solve(
+        m, cost, x0, U0,
+        DDPConfig(iters=60, dt=DT, exact_hessians=True, reg_init=1.0),
+    )
+    ilqr_state, J_ilqr = ddp_solve(
+        m, cost, x0, U0, DDPConfig(iters=60, dt=DT)
+    )
+    Jstar = 77.30614  # converged value (validated at 400 iLQR iters)
+    gap_ddp = np.asarray(J_ddp) - Jstar
+    gap_ilqr = np.asarray(J_ilqr) - Jstar
+    tol = 1e-6
+    it_ddp = int(np.argmax(gap_ddp < tol))
+    assert (gap_ddp < tol).any() and it_ddp <= 50, f"DDP gap {gap_ddp[-1]:.2e}"
+    # iLQR must NOT have reached the same tolerance within the same budget
+    # (it measures ~124 iterations on this problem)
+    assert not (gap_ilqr < tol).any(), f"iLQR unexpectedly fast: {gap_ilqr[-1]:.2e}"
+    assert float(ddp_state.J) < float(ilqr_state.J)
