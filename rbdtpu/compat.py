@@ -117,6 +117,120 @@ class RBDReferenceTPU:
         )
         return self._np(dq), self._np(dqd)
 
+    # --- granular Minv passes (reference :630, :737) ---------------------- #
+    def minv_bpass(self, q):
+        """Backward Minv sweep; returns (Minv, F, U, Dinv) in the reference's
+        layouts (RBDReference.py:630-735): Minv (n, n) upper rows, F
+        (n, 6, n), U (n, 6), Dinv (n,).  NOTE the reference's ``Dinv`` array
+        stores D = S^T IA S (its ``minv_fpass`` divides by it); matched here.
+        Floating base: the root block's U rows hold the articulated root
+        inertia columns (S = eye(6)) and Dinv[0:6] its diagonal."""
+        from .dynamics.xforms import joint_transforms_list
+
+        m = self.model
+        Xs = joint_transforms_list(m, self._q(q))
+        Minv, F, U_l, Dinv_l, fb_Dinv = dyn.minv_bpass(m, Xs)
+        n = m.nv
+        Fr = np.zeros((n, 6, n))
+        Ur = np.zeros((n, 6))
+        Dr = np.zeros(n)
+        for i in range(m.nb):
+            if m.floating_base and i == 0:
+                D_root = np.linalg.inv(self._np(fb_Dinv))  # = articulated IA
+                Ur[0:6, :] = D_root  # U = IA @ eye(6)
+                Dr[0:6] = np.diag(D_root)
+                Fr[0:6, :, :] = self._np(F[0])[None]
+            else:
+                mi = m.v_index(i)
+                Fr[mi] = self._np(F[i])
+                Ur[mi] = self._np(U_l[i])
+                Dr[mi] = 1.0 / float(self._np(Dinv_l[i]))
+        return self._np(Minv), Fr, Ur, Dr
+
+    def minv_fpass(self, q, Minv, F, U, Dinv):
+        """Forward Minv sweep completing the upper-triangular M^-1
+        (reference :737-783); accepts the ``minv_bpass`` reference-layout
+        intermediates and returns Minv (n, n)."""
+        from .dynamics.xforms import joint_transforms_list
+
+        m = self.model
+        Xs = joint_transforms_list(m, self._q(q))
+        F_l = [jnp.asarray(np.asarray(F[m.v_index(i) if not
+                                        (m.floating_base and i == 0) else 0],
+                                      dtype=np.float64))
+               for i in range(m.nb)]
+        U_l, Dinv_l = [None] * m.nb, [None] * m.nb
+        for i in range(m.nb):
+            if m.floating_base and i == 0:
+                continue
+            mi = m.v_index(i)
+            U_l[i] = jnp.asarray(np.asarray(U[mi], dtype=np.float64))
+            Dinv_l[i] = jnp.asarray(1.0 / np.float64(Dinv[mi]))
+        out = dyn.minv_fpass(
+            m, Xs, jnp.asarray(np.asarray(Minv, dtype=np.float64)),
+            F_l, U_l, Dinv_l,
+        )
+        return self._np(out)
+
+    # --- granular RNEA-gradient passes (reference :1127-:1343) ------------ #
+    def _grad_fpass_full(self, q, qd, v, a, GRAVITY=-9.81):
+        """v, a: reference (6, NB) layout (from ``rnea``, qdd included)."""
+        from .dynamics.xforms import joint_transforms_list
+
+        m = self.model
+        Xs = joint_transforms_list(m, self._q(q))
+        vs = jnp.asarray(np.asarray(v, dtype=np.float64).T)
+        as_ = jnp.asarray(np.asarray(a, dtype=np.float64).T)
+        return dyn.rnea_grad_fpass(m, Xs, self._q(qd), vs, as_, GRAVITY,
+                                   full=True)
+
+    def _ref3(self, lst):
+        # per-body list of (6, n) -> reference (6, n, NB)
+        return np.stack([self._np(x) for x in lst], axis=-1)
+
+    def rnea_grad_fpass_dq(self, q, qd, v, a, GRAVITY=-9.81):
+        """dq forward derivative sweep (reference :1127-1187).  Returns
+        (dv_dq, da_dq, df_dq), each (6, n, NB).  ``v``/``a``: (6, NB)
+        kinematics from ``rnea``."""
+        dv_q, da_q, df_q, _, _, _ = self._grad_fpass_full(q, qd, v, a,
+                                                          GRAVITY)
+        return self._ref3(dv_q), self._ref3(da_q), self._ref3(df_q)
+
+    def rnea_grad_fpass_dqd(self, q, qd, v):
+        """dqd forward derivative sweep (reference :1189-1255).  Returns
+        (dv_dqd, da_dqd, df_dqd), each (6, n, NB).  ``v``: (6, NB)."""
+        a0 = np.zeros_like(np.asarray(v, dtype=np.float64))  # a unused (dqd)
+        _, _, _, dv_d, da_d, df_d = self._grad_fpass_full(q, qd, v, a0)
+        return self._ref3(dv_d), self._ref3(da_d), self._ref3(df_d)
+
+    def rnea_grad_bpass_dq(self, q, f, df_dq):
+        """dq backward sweep -> dc_dq (n, n) (reference :1257-1297).
+        ``f``: (6, NB) accumulated forces; ``df_dq``: (6, n, NB)."""
+        from .dynamics.xforms import joint_transforms_list
+
+        m = self.model
+        Xs = joint_transforms_list(m, self._q(q))
+        fj = jnp.asarray(np.asarray(f, dtype=np.float64).T)
+        dfq = np.asarray(df_dq, dtype=np.float64)
+        df_q = [jnp.asarray(dfq[..., i]) for i in range(m.nb)]
+        zeros = [jnp.zeros_like(d) for d in df_q]
+        dc_dq, _ = dyn.rnea_grad_bpass(m, Xs, fj, df_q, zeros)
+        return self._np(dc_dq)
+
+    def rnea_grad_bpass_dqd(self, q, df_dqd, USE_VELOCITY_DAMPING=False):
+        """dqd backward sweep -> dc_dqd (n, n) (reference :1299-1343)."""
+        from .dynamics.xforms import joint_transforms_list
+
+        m = self.model
+        Xs = joint_transforms_list(m, self._q(q))
+        dfd = np.asarray(df_dqd, dtype=np.float64)
+        df_d = [jnp.asarray(dfd[..., i]) for i in range(m.nb)]
+        zeros = [jnp.zeros_like(d) for d in df_d]
+        fj = jnp.zeros((m.nb, 6), dtype=Xs[0].dtype)
+        _, dc_dqd = dyn.rnea_grad_bpass(m, Xs, fj, zeros, df_d,
+                                        USE_VELOCITY_DAMPING)
+        return self._np(dc_dqd)
+
     # --- first/second-order derivatives ---------------------------------- #
     def rnea_grad(self, q, qd, qdd=None, GRAVITY=-9.81,
                   USE_VELOCITY_DAMPING=False):
