@@ -211,16 +211,35 @@ def rnea_grad(
         # the analytic dq pass leaves the 6 root-POSE columns zero (Euler
         # angle coupling breaks the per-column crm identities there — the
         # reference's fb grad bug, SURVEY.md §2.1); fill them exactly with
-        # 6 forward-mode tangents through the fb-correct RNEA
+        # 6 forward-mode tangents through the fb-correct RNEA.  For a
+        # quaternion root the columns are TANGENT-space derivatives (d tau /
+        # d [dtheta; dp_body] through the retraction — the coordinates the
+        # tangent-space solver linearizes in, solver/integrate.py).
         qdd_arg = qdd if qdd is not None else jnp.zeros_like(qd)
 
-        def tau_of_root(r6, q_rest, qd_, qdd_):
-            q_full = jnp.concatenate([r6, q_rest], axis=-1)
-            return rnea(model, q_full, qd_, qdd_, gravity)[0]
+        if model.root_quat:
+            from ..spatial.quat import quat_exp, quat_mul, quat_to_R
 
-        J6 = _batched_jac(tau_of_root, 0)(
-            q[..., 0:6], q[..., 6:], qd, qdd_arg
-        )
+            def tau_of_root(d6, root7, q_rest, qd_, qdd_):
+                quat = quat_mul(root7[..., 3:7], quat_exp(d6[..., 0:3]))
+                p = root7[..., 0:3] + (
+                    quat_to_R(root7[..., 3:7]) * d6[..., None, 3:6]
+                ).sum(-1)
+                q_full = jnp.concatenate([p, quat, q_rest], axis=-1)
+                return rnea(model, q_full, qd_, qdd_, gravity)[0]
+
+            zero6 = jnp.zeros(q.shape[:-1] + (6,), q.dtype)
+            J6 = _batched_jac(tau_of_root, 0)(
+                zero6, q[..., 0:7], q[..., 7:], qd, qdd_arg
+            )
+        else:
+            def tau_of_root(r6, q_rest, qd_, qdd_):
+                q_full = jnp.concatenate([r6, q_rest], axis=-1)
+                return rnea(model, q_full, qd_, qdd_, gravity)[0]
+
+            J6 = _batched_jac(tau_of_root, 0)(
+                q[..., 0:6], q[..., 6:], qd, qdd_arg
+            )
         dc_dq = dc_dq.at[..., :, 0:6].set(J6)
     if split:
         return dc_dq, dc_dqd

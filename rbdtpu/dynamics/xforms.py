@@ -15,6 +15,8 @@ from ..spatial.transforms import (
     PRISMATIC,
     floating_spatial_x,
     floating_hom_T,
+    floating_quat_spatial_x,
+    floating_quat_hom_T,
     joint_hom_T,
     rot_axis,
 )
@@ -27,10 +29,12 @@ def q_per_joint(model: RobotModel, q):
 
     For a floating base the root slot is filled with 0 (it is handled separately);
     joint i>0 reads q[..., i+5] (the reference's `matrix_ind = ind + 5` shift,
-    ``RBDReference.py:634-638`` — here applied once, in the model layer).
+    ``RBDReference.py:634-638`` — here applied once, in the model layer) or
+    q[..., i+6] for a quaternion root (7 root coordinates).
     """
     if model.floating_base:
-        idx = jnp.array([0] + [i + 5 for i in range(1, model.nb)])
+        off = 6 if model.root_quat else 5
+        idx = jnp.array([0] + [i + off for i in range(1, model.nb)])
         qj = q[..., idx]
         return qj.at[..., 0].set(0.0)
     return q
@@ -72,7 +76,12 @@ def joint_transforms_list(model: RobotModel, q):
     out = []
     for i in range(model.nb):
         if model.floating_base and i == 0:
-            out.append(floating_spatial_x(model.Xtree[0], q[..., 0:6]))
+            if model.root_quat:
+                out.append(
+                    floating_quat_spatial_x(model.Xtree[0], q[..., 0:7])
+                )
+            else:
+                out.append(floating_spatial_x(model.Xtree[0], q[..., 0:6]))
         else:
             out.append(
                 _joint_x_single(
@@ -94,7 +103,10 @@ def joint_transforms_hom(model: RobotModel, q):
     jtype = jnp.array(model.joint_type)
     T = joint_hom_T(jtype, model.axis, model.Ttree, qj)
     if model.floating_base:
-        T0 = floating_hom_T(model.Ttree[0], q[..., 0:6])
+        if model.root_quat:
+            T0 = floating_quat_hom_T(model.Ttree[0], q[..., 0:7])
+        else:
+            T0 = floating_hom_T(model.Ttree[0], q[..., 0:6])
         T = T.at[..., 0, :, :].set(T0)
     return T
 

@@ -38,6 +38,12 @@ class RobotModel:
     damping: jax.Array  # (NB,) viscous joint damping
     # fixed frames (end-effector attachment frames from terminal fixed joints)
     T_fixed: jax.Array  # (NF, 4, 4) homogeneous frame->parent-body transform
+    # joint limits from URDF <limit> (reference discards them; VERDICT r1
+    # item 9).  +-inf where the URDF gives none (continuous joints, fb root)
+    effort_limit: jax.Array  # (NB,) |tau| bound per joint
+    velocity_limit: jax.Array  # (NB,) |qd| bound per joint
+    q_lower: jax.Array  # (NB,) position lower bound
+    q_upper: jax.Array  # (NB,) position upper bound
 
     # --- static metadata (hashable; compile-time constants) ---
     parent: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
@@ -47,6 +53,14 @@ class RobotModel:
     body_names: Tuple[str, ...] = dataclasses.field(metadata=dict(static=True))
     fixed_frame_names: Tuple[str, ...] = dataclasses.field(metadata=dict(static=True))
     fixed_frame_parent: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    # quaternion root (floating base only): q = [xyz, wxyz quat, joints...],
+    # nq = nb + 6 != nv — the singularity-free root the reference's rpy
+    # parameterization lacks (SURVEY.md §7 hard parts).  Velocity coordinates
+    # are IDENTICAL to the rpy root (root rows = body-frame twist via
+    # S = eye(6)), so every velocity-space algorithm is unchanged.
+    root_quat: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
     name: str = dataclasses.field(default="robot", metadata=dict(static=True))
     # host-side copy of the numeric model data as nested tuples (hashable,
     # survives pytree reconstruction under jit/scan closure lifting) — the
@@ -64,23 +78,39 @@ class RobotModel:
 
     @property
     def nq(self) -> int:
-        """Configuration dimension (6-DoF rpy root if floating)."""
-        return self.nb + 5 if self.floating_base else self.nb
+        """Configuration dimension (rpy root: 6; quaternion root: 7)."""
+        if self.floating_base:
+            return self.nb + (6 if self.root_quat else 5)
+        return self.nb
 
     @property
     def nv(self) -> int:
         """Velocity dimension (reference ``get_num_vel``)."""
         return self.nb + 5 if self.floating_base else self.nb
 
+    @property
+    def nx(self) -> int:
+        """State dimension nq + nv (solver convention x = [q; qd])."""
+        return self.nq + self.nv
+
+    @property
+    def ntan(self) -> int:
+        """State TANGENT dimension 2*nv (== nx unless quaternion root)."""
+        return 2 * self.nv
+
     def q_index(self, i: int):
         """q slice/index of joint i (reference ``get_joint_index_q``)."""
         if self.floating_base:
+            if self.root_quat:
+                return slice(0, 7) if i == 0 else i + 6
             return slice(0, 6) if i == 0 else i + 5
         return i
 
     def v_index(self, i: int):
         """velocity index of joint i (reference ``get_joint_index_v``)."""
-        return self.q_index(i)
+        if self.floating_base:
+            return slice(0, 6) if i == 0 else i + 5
+        return i
 
     # ------------------------------------------------------------------ #
     # Topology queries (static; evaluated at trace time)                 #
@@ -156,6 +186,16 @@ class RobotModel:
         """Cast all numeric leaves (e.g. to float64 for oracle parity runs)."""
         return jax.tree.map(lambda x: x.astype(dtype), self)
 
+    def u_limit_vector(self) -> jax.Array:
+        """Per-VELOCITY-coordinate effort bound (nv,): the control box for the
+        solvers (DDPConfig.u_limits / MPPIConfig.u_limits).  Floating-base
+        root coordinates take the root joint's effort limit (inf unless the
+        URDF bounds the root wrench)."""
+        out = jnp.full((self.nv,), jnp.inf, self.effort_limit.dtype)
+        for i in range(self.nb):
+            out = out.at[self.v_index(i)].set(self.effort_limit[i])
+        return out
+
 
 def make_model(
     *,
@@ -168,6 +208,11 @@ def make_model(
     I,
     damping=None,
     floating_base=False,
+    root_quat=False,
+    effort_limit=None,
+    velocity_limit=None,
+    q_lower=None,
+    q_upper=None,
     joint_names=None,
     body_names=None,
     fixed_frame_names=(),
@@ -189,12 +234,19 @@ def make_model(
         raise ValueError("exactly one root body expected")
     if floating_base and joint_type[0] != FLOATING:
         raise ValueError("floating_base model must have a FLOATING root joint")
+    if root_quat and not floating_base:
+        raise ValueError("root_quat requires floating_base=True")
     joint_names = tuple(joint_names or (f"joint{i}" for i in range(nb)))
     body_names = tuple(body_names or (f"body{i}" for i in range(nb)))
     if T_fixed is None:
         T_fixed = jnp.zeros((0, 4, 4), dtype)
     if damping is None:
         damping = jnp.zeros((nb,), dtype)
+    fill = lambda v, d: np.full((nb,), d, np.float64) if v is None else v
+    effort_limit = fill(effort_limit, np.inf)
+    velocity_limit = fill(velocity_limit, np.inf)
+    q_lower = fill(q_lower, -np.inf)
+    q_upper = fill(q_upper, np.inf)
     asarr = lambda x: jnp.asarray(x, dtype)
 
     def _tup(x):
@@ -218,9 +270,14 @@ def make_model(
         I=asarr(I),
         damping=asarr(damping),
         T_fixed=asarr(T_fixed),
+        effort_limit=asarr(effort_limit),
+        velocity_limit=asarr(velocity_limit),
+        q_lower=asarr(q_lower),
+        q_upper=asarr(q_upper),
         parent=parent,
         joint_type=joint_type,
         floating_base=bool(floating_base),
+        root_quat=bool(root_quat),
         joint_names=joint_names,
         body_names=body_names,
         fixed_frame_names=tuple(fixed_frame_names),

@@ -122,18 +122,34 @@ class _Joint:
             self.axis = self.axis / n
         dyn = el.find("dynamics")
         self.damping = float(dyn.get("damping", 0.0)) if dyn is not None else 0.0
+        lim = el.find("limit")
+        inf = float("inf")
+        self.effort = float(lim.get("effort", inf)) if lim is not None else inf
+        self.velocity = (
+            float(lim.get("velocity", inf)) if lim is not None else inf
+        )
+        # continuous joints are unbounded in position regardless of <limit>
+        if self.type == "continuous" or lim is None:
+            self.lower, self.upper = -inf, inf
+        else:
+            self.lower = float(lim.get("lower", -inf))
+            self.upper = float(lim.get("upper", inf))
 
 
 def parse_urdf(
     source: str,
     *,
     floating_base: bool = False,
+    root_quat: bool = False,
     dtype=np.float32,
 ) -> RobotModel:
     """Parse a URDF file path or XML string into a RobotModel.
 
     floating_base: treat the root link as a floating 6-DoF body (also triggered
     by an explicit ``<joint type="floating">`` at the root).
+    root_quat: use the singularity-free quaternion root parameterization
+    (q = [xyz, wxyz, joints...], nq = nb + 6) instead of the reference's rpy
+    root.  Velocity coordinates are identical either way.
     """
     if source.lstrip().startswith("<"):
         root_el = ET.fromstring(source)
@@ -173,13 +189,18 @@ def parse_urdf(
     fixed_names: List[str] = []
     fixed_parent: List[int] = []
     T_fixed: List[np.ndarray] = []
+    eff_l: List[float] = []
+    vel_l: List[float] = []
+    q_lo: List[float] = []
+    q_hi: List[float] = []
 
     _S_AXIS = {
         REVOLUTE: lambda a: np.concatenate([a, np.zeros(3)]),
         PRISMATIC: lambda a: np.concatenate([np.zeros(3), a]),
     }
 
-    def add_body(jname, blink, jtype, ax, T_or, damp, parent_body):
+    def add_body(jname, blink, jtype, ax, T_or, damp, parent_body,
+                 limits=None):
         body_id = len(parent)
         parent.append(parent_body)
         joint_type.append(jtype)
@@ -192,6 +213,13 @@ def parse_urdf(
         damping.append(damp)
         joint_names.append(jname)
         body_names.append(blink)
+        inf = float("inf")
+        eff, vel, lo, hi = limits if limits is not None else (inf, inf,
+                                                              -inf, inf)
+        eff_l.append(eff)
+        vel_l.append(vel)
+        q_lo.append(lo)
+        q_hi.append(hi)
         return body_id
 
     def descend(link_name: str, body_id: int, T_to_body: np.ndarray):
@@ -214,7 +242,8 @@ def parse_urdf(
             elif j.type in ("revolute", "continuous", "prismatic"):
                 jt = PRISMATIC if j.type == "prismatic" else REVOLUTE
                 bid = add_body(
-                    j.name, j.child_link, jt, j.axis, T_joint, j.damping, body_id
+                    j.name, j.child_link, jt, j.axis, T_joint, j.damping,
+                    body_id, limits=(j.effort, j.velocity, j.lower, j.upper),
                 )
                 descend(j.child_link, bid, np.eye(4))
             elif j.type == "floating":
@@ -251,7 +280,11 @@ def parse_urdf(
                 "prismatic": PRISMATIC,
                 "floating": FLOATING,
             }[j.type]
-            bid = add_body(j.name, j.child_link, jt, j.axis, T_or, j.damping, -1)
+            bid = add_body(
+                j.name, j.child_link, jt, j.axis, T_or, j.damping, -1,
+                limits=None if jt == FLOATING
+                else (j.effort, j.velocity, j.lower, j.upper),
+            )
             descend(j.child_link, bid, np.eye(4))
 
     nb = len(parent)
@@ -268,7 +301,12 @@ def parse_urdf(
         S=np.stack(S_rows) if nb else np.zeros((0, 6)),
         I=np.stack(I_list) if nb else np.zeros((0, 6, 6)),
         damping=np.array(damping),
+        effort_limit=np.array(eff_l),
+        velocity_limit=np.array(vel_l),
+        q_lower=np.array(q_lo),
+        q_upper=np.array(q_hi),
         floating_base=fb,
+        root_quat=root_quat and fb,
         joint_names=joint_names,
         body_names=body_names,
         fixed_frame_names=fixed_names,

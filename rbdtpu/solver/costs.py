@@ -40,12 +40,75 @@ def quadratic_tracking_cost(
     w_q_f=100.0, w_qd_f=10.0,
 ) -> Cost:
     """0.5 * weighted quadratic distance to a goal state, plus control effort.
-    Exact analytic quadratization."""
+    Exact analytic quadratization.
+
+    Quaternion-root models: the distance is measured in the TANGENT space,
+    d = state_diff(x, x_goal) (2*nv), with the root attitude error as the
+    log-map rotation vector; the analytic derivatives use the exact tangent
+    Jacobian of the diff (inverse right Jacobian on the rotation block,
+    exp(d_rot^) transport on the translation block) so lx is the exact
+    gradient and lxx its Gauss-Newton quadratic form.
+    """
     x_goal = jnp.asarray(x_goal)
     nq, nv = model.nq, model.nv
+    quat_root = model.floating_base and model.root_quat
     nx = nq + nv
-    W = jnp.concatenate([jnp.full(nq, w_q), jnp.full(nv, w_qd)])
-    Wf = jnp.concatenate([jnp.full(nq, w_q_f), jnp.full(nv, w_qd_f)])
+    ndim = 2 * nv if quat_root else nx
+    W = jnp.concatenate([jnp.full(nv if quat_root else nq, w_q),
+                         jnp.full(nv, w_qd)])
+    Wf = jnp.concatenate([jnp.full(nv if quat_root else nq, w_q_f),
+                          jnp.full(nv, w_qd_f)])
+
+    if quat_root:
+        from ..spatial.quat import quat_to_R, so3_right_jacobian_inv
+        from .integrate import state_diff
+
+        diff = lambda x: state_diff(model, x, x_goal)
+
+        def _ddiff_dxi(d):
+            """Tangent Jacobian of the diff: block-diag(Jr^-1(d_rot),
+            exp(d_rot^), I) acting on the first 6 tangent coords."""
+            drot = d[..., 0:3]
+            Jri = so3_right_jacobian_inv(drot)
+            from ..spatial.quat import quat_exp
+
+            Rd = quat_to_R(quat_exp(drot))  # R_goal^T R_x = exp(d_rot^)
+            return Jri, Rd
+
+        def _derivs(x, W_):
+            d = diff(x)
+            Jri, Rd = _ddiff_dxi(d)
+            g = W_ * d
+            # lx = J^T (W d) with J block-diag on the root-pose coords
+            g_rot = (Jri * g[..., 0:3, None]).sum(-2)     # Jri^T g
+            g_p = (Rd * g[..., 3:6, None]).sum(-2)        # Rd^T g
+            lx = jnp.concatenate([g_rot, g_p, g[..., 6:]], axis=-1)
+            # GN Hessian J^T W J (batched only on the root blocks)
+            batch = x.shape[:-1]
+            Hd = jnp.broadcast_to(jnp.diag(W_), batch + (ndim, ndim))
+            Hrot = jnp.swapaxes(Jri, -1, -2) @ (W_[0:3, None] * Jri)
+            Hp = jnp.swapaxes(Rd, -1, -2) @ (W_[3:6, None] * Rd)
+            Hd = Hd.at[..., 0:3, 0:3].set(Hrot)
+            Hd = Hd.at[..., 3:6, 3:6].set(Hp)
+            return lx, Hd
+
+        def stage(x, u, t):
+            d = diff(x)
+            return 0.5 * ((W * d * d).sum(-1) + w_u * _sq(u))
+
+        def terminal(x):
+            d = diff(x)
+            return 0.5 * (Wf * d * d).sum(-1)
+
+        def stage_derivs(x, u, t):
+            lx, lxx = _derivs(x, W)
+            return (lx, w_u * u, lxx, w_u * jnp.eye(nv),
+                    jnp.zeros((nv, ndim), x.dtype))
+
+        def terminal_derivs(x):
+            return _derivs(x, Wf)
+
+        return Cost(stage, terminal, stage_derivs, terminal_derivs)
 
     def stage(x, u, t):
         d = x - x_goal
@@ -147,10 +210,15 @@ def trajectory_cost(cost: Cost, X, U):
     return stage_costs.sum(-1) + cost.terminal(X[..., -1, :])
 
 
-def quadratize_trajectory(cost: Cost, X, U):
+def quadratize_trajectory(cost: Cost, X, U, model: RobotModel | None = None):
     """Per-knot cost expansions: analytic forms when the cost provides them,
     AD otherwise.  Batch-closed on the analytic path; the AD path vmaps over
     flattened (batch, time).
+
+    Quaternion-root models (pass ``model``): the AD fallback differentiates in
+    the TANGENT space — c(xi, u) = cost(state_retract(x, xi), u) at xi = 0 —
+    so lx/lxx have the solver's 2*nv dimensions; analytic derivs are trusted
+    to already be tangent-space (the built-in costs are).
 
     Returns (lx, lu, lxx, luu, lux, lfx, lfxx) with (..., H, ...) stage terms.
     """
@@ -171,11 +239,35 @@ def quadratize_trajectory(cost: Cost, X, U):
     Uf = U.reshape((-1, nu))
     tf = jnp.broadcast_to(ts, batch + (H,)).reshape((-1,))
 
-    gx = jax.vmap(jax.grad(cost.stage, argnums=0))
+    quat_root = model is not None and model.floating_base and model.root_quat
+    if quat_root:
+        from .integrate import state_retract
+
+        ndim = 2 * model.nv
+        stage_t = lambda xi, x, u, t: cost.stage(
+            state_retract(model, x, xi), u, t
+        )
+        term_t = lambda xi, x: cost.terminal(state_retract(model, x, xi))
+        z = jnp.zeros((ndim,), X.dtype)
+        gx = jax.vmap(lambda x, u, t: jax.grad(stage_t)(z, x, u, t))
+        hxx = jax.vmap(lambda x, u, t: jax.hessian(stage_t)(z, x, u, t))
+        hux = jax.vmap(
+            lambda x, u, t: jax.jacfwd(
+                lambda xi: jax.grad(stage_t, argnums=2)(xi, x, u, t)
+            )(z)
+        )
+        gfx = jax.vmap(lambda x: jax.grad(term_t)(z, x))
+        hfxx = jax.vmap(lambda x: jax.hessian(term_t)(z, x))
+    else:
+        ndim = nx
+        gx = jax.vmap(jax.grad(cost.stage, argnums=0))
+        hxx = jax.vmap(jax.hessian(cost.stage, argnums=0))
+        hux = jax.vmap(jax.jacfwd(jax.grad(cost.stage, argnums=1), argnums=0))
+        gfx = jax.vmap(jax.grad(cost.terminal))
+        hfxx = jax.vmap(jax.hessian(cost.terminal))
+
     gu = jax.vmap(jax.grad(cost.stage, argnums=1))
-    hxx = jax.vmap(jax.hessian(cost.stage, argnums=0))
     huu = jax.vmap(jax.hessian(cost.stage, argnums=1))
-    hux = jax.vmap(jax.jacfwd(jax.grad(cost.stage, argnums=1), argnums=0))
 
     rs = lambda a: a.reshape(batch + (H,) + a.shape[1:])
     lx = rs(gx(Xf, Uf, tf))
@@ -184,8 +276,6 @@ def quadratize_trajectory(cost: Cost, X, U):
     luu = rs(huu(Xf, Uf, tf))
     lux = rs(hux(Xf, Uf, tf))
     XT = X[..., -1, :].reshape((-1, nx))
-    lfx = jax.vmap(jax.grad(cost.terminal))(XT).reshape(batch + (nx,))
-    lfxx = jax.vmap(jax.hessian(cost.terminal))(XT).reshape(
-        batch + (nx, nx)
-    )
+    lfx = gfx(XT).reshape(batch + (ndim,))
+    lfxx = hfxx(XT).reshape(batch + (ndim, ndim))
     return lx, lu, lxx, luu, lux, lfx, lfxx

@@ -41,7 +41,7 @@ from ..spatial.batched import (
 )
 from .costs import Cost, trajectory_cost, quadratize_trajectory
 from .rollout import linearize_trajectory
-from .integrate import split_state, euler_semi_implicit
+from .integrate import split_state, euler_semi_implicit, state_diff
 from ..dynamics.aba import aba
 
 
@@ -79,6 +79,13 @@ class DDPConfig:
     # reference C10) into the backward pass (Qxx/Qux gain Vx . Fxx terms).
     # Off = iLQR (Gauss-Newton), the usual default
     exact_hessians: bool = False
+    # box control limits from the model's URDF <limit effort> bounds
+    # (model.u_limit_vector): clamp every applied control in the line-search
+    # rollouts (and the initial rollout), so accepted trajectories are
+    # feasible by construction.  Clamped line search (Tassa 2014's "naive
+    # clamping"): the Riccati gains stay unconstrained; the forward pass
+    # projects — the line-search rejection guard keeps it monotone
+    u_limits: bool = False
 
 
 class DDPState(NamedTuple):
@@ -101,7 +108,7 @@ def _step_plain(model, x, u, dt, gravity, route="aba"):
 
 
 def _make_step(model, config):
-    if config.fused:
+    if config.fused and not model.root_quat:
         from ..kernels.fused import fd_step_fused
 
         def step(x, u):
@@ -129,7 +136,9 @@ def _make_linearize(model, config):
         if config.fused_linearize is not None
         else config.fused
     )
-    if use_fused_lin:
+    # the lane-scalar kernels cover rpy/fixed roots; quaternion-root models
+    # take the jnp tangent-space path (manifold transport in step_jacobians)
+    if use_fused_lin and not model.root_quat:
         from ..kernels.colvec import linearize_fused
 
         def lin(X, U):
@@ -266,12 +275,14 @@ def backward_pass(A, B, lx, lu, lxx, luu, lux, lfx, lfxx, reg, fxx=None,
 
 
 def forward_pass(model: RobotModel, cost: Cost, X, U, k, K, alphas, dt,
-                 gravity, step_fn=None):
+                 gravity, step_fn=None, u_clip=None):
     """Closed-loop rollouts for every alpha in the ladder, in parallel, for
     every problem in the batch.
 
     X (..., H+1, nx), U/k (..., H, nv), K (..., H, nv, nx), alphas (n_alpha,).
-    Returns (Xs, Us, Js) with a leading n_alpha axis before the batch dims.
+    u_clip: optional (nv,) box bound; applied controls are clamped to
+    [-u_clip, u_clip].  Returns (Xs, Us, Js) with a leading n_alpha axis
+    before the batch dims.
     """
     if step_fn is None:
         step_fn = lambda x, u: _step_plain(model, x, u, dt, gravity)
@@ -290,7 +301,10 @@ def forward_pass(model: RobotModel, cost: Cost, X, U, k, K, alphas, dt,
 
     def step(x, inp):
         X_t, U_t, k_t, K_t = inp
-        u = U_t + al * k_t + mv(K_t, x - X_t)
+        # tangent-space feedback (== x - X_t unless quaternion root)
+        u = U_t + al * k_t + mv(K_t, state_diff(model, x, X_t))
+        if u_clip is not None:
+            u = jnp.clip(u, -u_clip, u_clip)
         x_next = step_fn(x, u)
         return x_next, (x_next, u)
 
@@ -318,6 +332,11 @@ def ddp_solve(
     batch = x0.shape[:-1]
     step_fn = _make_step(model, config)
     lin_fn = _make_linearize(model, config)
+    u_clip = (
+        model.u_limit_vector().astype(x0.dtype) if config.u_limits else None
+    )
+    if u_clip is not None:
+        U0 = jnp.clip(U0, -u_clip, u_clip)
 
     def roll0(x, U):
         def step(xc, u):
@@ -339,10 +358,17 @@ def ddp_solve(
     def iteration(state: DDPState, _):
         A, B = lin_fn(state.X, state.U)
         lx, lu, lxx, luu, lux, lfx, lfxx = quadratize_trajectory(
-            cost, state.X, state.U
+            cost, state.X, state.U, model=model
         )
         fxx = None
         if config.exact_hessians:
+            if model.root_quat:
+                raise ValueError(
+                    "exact_hessians expects flat configuration coordinates "
+                    "(fixed-base or rpy root); the quaternion-root tangent "
+                    "chart adds retraction-curvature terms fdsva_so does not "
+                    "model"
+                )
             from ..dynamics.idsva import fdsva_so
 
             q, qd = split_state(model, state.X[..., :-1, :])
@@ -359,7 +385,8 @@ def ddp_solve(
                 fxx=fxx, dt=dt,
             )
         Xs, Us, Js = forward_pass(
-            model, cost, state.X, state.U, k, K, alphas, dt, gravity, step_fn
+            model, cost, state.X, state.U, k, K, alphas, dt, gravity,
+            step_fn, u_clip=u_clip,
         )
         Js = jnp.where(jnp.isfinite(Js), Js, jnp.inf)  # (n_alpha, ...)
         best = jnp.argmin(Js, axis=0)  # (...)

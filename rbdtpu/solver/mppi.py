@@ -26,6 +26,9 @@ class MPPIConfig:
     dt: float = 0.01
     gravity: float = -9.81
     fused: bool = False  # fused Pallas step kernel for the sample rollouts
+    # clip sampled AND updated controls to the model's URDF effort box
+    # (model.u_limit_vector; VERDICT r1 item 9)
+    u_limits: bool = False
 
 
 def mppi_step(
@@ -48,6 +51,10 @@ def mppi_step(
     # move weight off a strictly better current plan
     eps = eps.at[0].set(0.0)
     U_samp = U[None] + eps
+    if config.u_limits:
+        lim = model.u_limit_vector().astype(U.dtype)
+        U_samp = jnp.clip(U_samp, -lim, lim)
+        eps = U_samp - U[None]  # weighted update stays inside the box
 
     X_samp = rollout(model, jnp.broadcast_to(x0, (config.n_samples,) + x0.shape),
                      U_samp, config.dt, config.gravity, fused=config.fused)

@@ -26,6 +26,8 @@ def rollout(model: RobotModel, x0, U, dt: float, gravity: float = -9.81,
     fused=True routes each step through the fused Pallas kernel
     (kernels.fd_step_fused) when the flattened batch allows it.
     """
+    if fused and model.root_quat:
+        fused = False  # lane-scalar kernels cover rpy/fixed roots only
     if fused:
         from ..kernels.fused import fd_step_fused
 
@@ -60,5 +62,6 @@ def linearize_trajectory(model: RobotModel, X, U, dt: float,
     One vmapped batched sweep over all H knots at once.
     """
     q, qd = split_state(model, X[..., :-1, :])
-    _, Mi, dq, dqd = forward_dynamics_full(model, q, qd, U, gravity)
-    return step_jacobians(model, Mi, dq, dqd, dt)
+    qdd, Mi, dq, dqd = forward_dynamics_full(model, q, qd, U, gravity)
+    qd_new = qd + dt * qdd if model.root_quat else None
+    return step_jacobians(model, Mi, dq, dqd, dt, qd_new=qd_new)

@@ -1,5 +1,6 @@
 """Batched spatial-vector algebra and transform builders (SURVEY.md §7 `spatial/`)."""
 from . import batched
+from . import quat
 from .ops import (
     crm,
     crf,

@@ -180,3 +180,26 @@ def floating_hom_T(Ttree, q6):
     """Homogeneous body->world transform for the floating root."""
     R = rpy_to_R(q6[..., 3:6])
     return Ttree @ hom(R, q6[..., 0:3])
+
+
+def floating_quat_spatial_x(Xtree, q7):
+    """Spatial transform for the QUATERNION floating root:
+    q7 = [x, y, z, qw, qx, qy, qz] (position + wxyz unit quaternion).
+
+    The singularity-free root parameterization (SURVEY.md §7 hard parts; the
+    reference's rpy root is singular at pitch = +-pi/2).  Motion transform is
+    world->body: plux(R^T, xyz) @ Xtree.
+    """
+    from .quat import quat_to_R
+
+    R = quat_to_R(q7[..., 3:7])
+    E = jnp.swapaxes(R, -1, -2)
+    return plux(E, q7[..., 0:3]) @ Xtree
+
+
+def floating_quat_hom_T(Ttree, q7):
+    """Homogeneous body->world transform for the quaternion floating root."""
+    from .quat import quat_to_R
+
+    R = quat_to_R(q7[..., 3:7])
+    return Ttree @ hom(R, q7[..., 0:3])

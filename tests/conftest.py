@@ -39,6 +39,13 @@ def quadruped12fb():
 
 
 @pytest.fixture(scope="session")
+def quadruped12quat():
+    return load_asset(
+        "quadruped12", dtype=np.float64, floating_base=True, root_quat=True
+    )
+
+
+@pytest.fixture(scope="session")
 def oracle(arm7):
     """Reference RBDReference instance bound to our arm7 model data."""
     cls = load_reference_class()
@@ -56,6 +63,10 @@ def rng():
 
 def random_state(rng, model, batch=()):
     q = rng.uniform(-1.0, 1.0, batch + (model.nq,))
+    if model.floating_base and model.root_quat:
+        # root quaternion slots must be unit norm
+        quat = rng.standard_normal(batch + (4,))
+        q[..., 3:7] = quat / np.linalg.norm(quat, axis=-1, keepdims=True)
     qd = rng.uniform(-1.0, 1.0, batch + (model.nv,))
     tau = rng.uniform(-1.0, 1.0, batch + (model.nv,))
     return q, qd, tau

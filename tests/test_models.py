@@ -51,3 +51,33 @@ def test_fk_runs(zoo_model):
     pose = fk.ee_pose(m, q)
     assert pose.shape == (len(m.leaves()), 6)
     assert np.all(np.isfinite(np.asarray(pose)))
+
+
+def test_urdf_limits_parsed(arm7):
+    """<limit> bounds land in the model (the reference's parser reads and
+    discards them — VERDICT r1 item 9).  arm7 asset: effort=300, vel=10,
+    q in [-2.96, 2.96]."""
+    import numpy as np
+
+    np.testing.assert_allclose(np.asarray(arm7.effort_limit), 300.0)
+    np.testing.assert_allclose(np.asarray(arm7.velocity_limit), 10.0)
+    np.testing.assert_allclose(np.asarray(arm7.q_lower), -2.96)
+    np.testing.assert_allclose(np.asarray(arm7.q_upper), 2.96)
+    np.testing.assert_allclose(np.asarray(arm7.u_limit_vector()), 300.0)
+
+
+def test_limits_default_inf():
+    import numpy as np
+    from rbdtpu.model import parse_urdf
+
+    urdf = """<robot name="nolim"><link name="b"/><link name="l1">
+      <inertial><mass value="1"/><inertia ixx="0.1" iyy="0.1" izz="0.1"
+      ixy="0" ixz="0" iyz="0"/></inertial></link>
+      <joint name="j1" type="continuous"><parent link="b"/>
+      <child link="l1"/><axis xyz="0 0 1"/>
+      <limit effort="5" velocity="2" lower="-1" upper="1"/></joint></robot>"""
+    m = parse_urdf(urdf, dtype=np.float64)
+    # continuous joints: position unbounded even with <limit> bounds given
+    assert np.isinf(np.asarray(m.q_lower)).all()
+    assert np.isinf(np.asarray(m.q_upper)).all()
+    np.testing.assert_allclose(np.asarray(m.effort_limit), 5.0)

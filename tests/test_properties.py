@@ -53,9 +53,13 @@ def test_cross_products_match_operators(rng):
 # Dynamics identities (fixed base and floating base)                          #
 # --------------------------------------------------------------------------- #
 
-@pytest.fixture(params=["arm7", "quadruped12fb"])
-def model(request, arm7, quadruped12fb):
-    return {"arm7": arm7, "quadruped12fb": quadruped12fb}[request.param]
+@pytest.fixture(params=["arm7", "quadruped12fb", "quadruped12quat"])
+def model(request, arm7, quadruped12fb, quadruped12quat):
+    return {
+        "arm7": arm7,
+        "quadruped12fb": quadruped12fb,
+        "quadruped12quat": quadruped12quat,
+    }[request.param]
 
 
 def test_minv_inverts_crba(model, rng):
@@ -95,9 +99,22 @@ def test_rnea_grad_matches_jacfwd(model, rng):
     dc_dq, dc_dqd = dyn.rnea_grad(
         model, jnp.array(q), jnp.array(qd), jnp.array(qdd), split=True
     )
-    tau_fn = lambda q_, qd_: dyn.rnea(model, q_, qd_, jnp.array(qdd))[0]
-    J_q = jax.jacfwd(tau_fn, argnums=0)(jnp.array(q), jnp.array(qd))
-    J_qd = jax.jacfwd(tau_fn, argnums=1)(jnp.array(q), jnp.array(qd))
+    if model.floating_base and model.root_quat:
+        # dq columns are TANGENT-space: compare against AD through the
+        # retraction q (+) xi (solver/integrate.py convention)
+        from rbdtpu.solver.integrate import config_retract
+
+        tau_fn = lambda xi, qd_: dyn.rnea(
+            model, config_retract(model, jnp.array(q), xi), qd_,
+            jnp.array(qdd),
+        )[0]
+        zero = jnp.zeros(model.nv, jnp.float64)
+        J_q = jax.jacfwd(tau_fn, argnums=0)(zero, jnp.array(qd))
+        J_qd = jax.jacfwd(tau_fn, argnums=1)(zero, jnp.array(qd))
+    else:
+        tau_fn = lambda q_, qd_: dyn.rnea(model, q_, qd_, jnp.array(qdd))[0]
+        J_q = jax.jacfwd(tau_fn, argnums=0)(jnp.array(q), jnp.array(qd))
+        J_qd = jax.jacfwd(tau_fn, argnums=1)(jnp.array(q), jnp.array(qd))
     np.testing.assert_allclose(np.asarray(dc_dq), np.asarray(J_q), atol=1e-7)
     np.testing.assert_allclose(np.asarray(dc_dqd), np.asarray(J_qd), atol=1e-7)
 

@@ -229,3 +229,59 @@ def test_exact_hessian_ddp_converges_faster():
     # (it measures ~124 iterations on this problem)
     assert not (gap_ilqr < tol).any(), f"iLQR unexpectedly fast: {gap_ilqr[-1]:.2e}"
     assert float(ddp_state.J) < float(ilqr_state.J)
+
+
+def test_ddp_respects_control_limits(rng):
+    """With u_limits=True every solved control obeys the URDF effort box, and
+    the clamped solve still improves the cost (VERDICT r1 item 9).  A tight
+    artificial limit guarantees the unconstrained optimum is outside the
+    box."""
+    from rbdtpu.model import parse_urdf
+
+    urdf = """<robot name="lim2">
+    <link name="base"/>
+    <link name="l1"><inertial><origin xyz="0 0 -0.25"/><mass value="1.0"/>
+      <inertia ixx="0.02" iyy="0.02" izz="0.002" ixy="0" ixz="0" iyz="0"/></inertial></link>
+    <link name="l2"><inertial><origin xyz="0 0 -0.25"/><mass value="1.0"/>
+      <inertia ixx="0.02" iyy="0.02" izz="0.002" ixy="0" ixz="0" iyz="0"/></inertial></link>
+    <joint name="j1" type="revolute"><origin xyz="0 0 0"/><parent link="base"/><child link="l1"/><axis xyz="0 1 0"/>
+      <limit lower="-3" upper="3" effort="2.0" velocity="10"/></joint>
+    <joint name="j2" type="revolute"><origin xyz="0 0 -0.5"/><parent link="l1"/><child link="l2"/><axis xyz="0 1 0"/>
+      <limit lower="-3" upper="3" effort="2.0" velocity="10"/></joint>
+    </robot>"""
+    m = parse_urdf(urdf, dtype=np.float64)
+    H, dt = 30, 0.02
+    x_goal = jnp.array([np.pi, 0.0, 0.0, 0.0])
+    cost = quadratic_tracking_cost(
+        m, x_goal, w_q=10.0, w_qd=0.1, w_u=1e-4, w_q_f=200.0, w_qd_f=20.0
+    )
+    x0 = jnp.zeros(4)
+    U0 = jnp.zeros((H, m.nv))
+    state, J_hist = ddp_solve(
+        m, cost, x0, U0, DDPConfig(iters=15, dt=dt, u_limits=True)
+    )
+    lim = np.asarray(m.u_limit_vector())
+    assert (np.abs(np.asarray(state.U)) <= lim + 1e-12).all()
+    J = np.asarray(J_hist)
+    assert J[-1] < J[0]
+    # sanity: the unconstrained solve DOES exceed the box (the limit binds)
+    state_u, _ = ddp_solve(m, cost, x0, U0, DDPConfig(iters=15, dt=dt))
+    assert np.abs(np.asarray(state_u.U)).max() > lim.max()
+
+
+def test_mppi_respects_control_limits(rng):
+    from rbdtpu.model import load_asset
+    from rbdtpu.solver import MPPIConfig, mppi_solve
+
+    m = load_asset("arm7", dtype=np.float64)
+    H, dt = 10, 0.01
+    cost = quadratic_tracking_cost(
+        m, jnp.zeros(2 * m.nv), w_q=1.0, w_qd=0.1, w_u=1e-6
+    )
+    x0 = jnp.array(np.concatenate([rng.uniform(-1, 1, m.nq), np.zeros(m.nv)]))
+    U0 = jnp.zeros((H, m.nv))
+    U, _ = mppi_solve(
+        m, cost, x0, U0, jax.random.PRNGKey(0), iters=4,
+        config=MPPIConfig(n_samples=64, sigma=500.0, dt=dt, u_limits=True),
+    )
+    assert (np.abs(np.asarray(U)) <= np.asarray(m.u_limit_vector()) + 1e-9).all()
