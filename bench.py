@@ -103,7 +103,44 @@ def bench_tpu_rollout(model):
     steps_per_s = B * H * R / best
     log(f"tpu rollout: {best*1e3:.2f} ms for {R}x({B}x{H}) steps -> "
         f"{steps_per_s:,.0f} steps/s")
-    return steps_per_s
+
+    # FLOP accounting (VERDICT r1 item 10): XLA's own cost model for the
+    # whole timed program -> flops/step and achieved fraction of chip peak.
+    # (The fused-kernel flops are Pallas-internal and invisible to XLA's
+    # analysis, so count the EQUIVALENT jnp step program — same algorithm.)
+    flops_per_step = pct_peak = None
+    try:
+        @jax.jit
+        def roll_jnp_full(x0, U):
+            xf, _ = jax.lax.scan(step_jnp, x0, U)
+            return xf
+
+        an = roll_jnp_full.lower(x0, U).compile().cost_analysis()
+        an = an[0] if isinstance(an, (list, tuple)) else an
+        total = float(an.get("flops", float("nan")))
+        flops_per_step = total / (B * H)
+        peak = _chip_peak_flops()
+        if peak:
+            pct_peak = 100.0 * flops_per_step * steps_per_s / peak
+        log(f"flops/step (XLA cost model): {flops_per_step:,.0f}; achieved "
+            f"{flops_per_step * steps_per_s / 1e12:.2f} TFLOP/s"
+            + (f" = {pct_peak:.2f}% of peak" if pct_peak else ""))
+    except Exception as e:  # cost analysis is backend-dependent
+        log(f"flop accounting unavailable: {e}")
+    return steps_per_s, flops_per_step, pct_peak
+
+
+def _chip_peak_flops():
+    """Dense peak FLOP/s of the attached chip (None when unknown).  v5e MXU
+    peak is 197 TFLOP/s bf16 / ~98 f32; our rollout math is f32, so quote
+    against the f32 figure."""
+    d = jax.devices()[0]
+    kind = getattr(d, "device_kind", "").lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        return 98e12
+    if "v4" in kind:
+        return 137.5e12
+    return None
 
 
 def bench_fused_rollout(model):
@@ -241,22 +278,36 @@ def bench_quadruped_mpc():
     return Bm / best
 
 
-def bench_humanoid_hybrid():
-    """BASELINE.json configs[4]: humanoid (~30 DoF + fb) sampling+DDP hybrid."""
+def bench_humanoid_hybrid(root_quat: bool = False):
+    """BASELINE.json configs[4]: humanoid (~30 DoF + fb) sampling+DDP hybrid.
+
+    root_quat=True runs the same task on the singularity-free quaternion
+    root (nq != nv, tangent-space DDP — VERDICT r1 item 5); the rpy variant
+    stays for baseline continuity."""
     from rbdtpu.model import load_asset
     from rbdtpu.solver import (
         DDPConfig, MPPIConfig, hybrid_solve, quadratic_tracking_cost,
     )
     from rbdtpu.dynamics import rnea
 
-    model = load_asset("humanoid30", dtype=np.float32, floating_base=True)
+    model = load_asset("humanoid30", dtype=np.float32, floating_base=True,
+                       root_quat=root_quat)
     Bm, H = 16, 32
     key = jax.random.PRNGKey(2)
     q0 = jnp.zeros((Bm, model.nq), jnp.float32).at[:, 2].set(0.9)
-    q0 = q0 + 0.02 * jax.random.normal(key, q0.shape, jnp.float32)
+    noise = 0.02 * jax.random.normal(key, (Bm, model.nv), jnp.float32)
+    if root_quat:
+        from rbdtpu.solver.integrate import config_retract
+
+        q0 = q0.at[:, 3].set(1.0)  # identity quat
+        q0 = config_retract(model, q0, noise)
+    else:
+        q0 = q0 + noise
     zero = jnp.zeros((Bm, model.nv), jnp.float32)
     x0 = jnp.concatenate([q0, zero], -1)
     x_goal = jnp.zeros(model.nq + model.nv, jnp.float32).at[2].set(0.95)
+    if root_quat:
+        x_goal = x_goal.at[3].set(1.0)
     cost = quadratic_tracking_cost(model, x_goal, w_q=2.0, w_qd=0.05,
                                    w_u=1e-5)
     u_hold = rnea(model, q0, zero, zero)[0]
@@ -283,13 +334,117 @@ def bench_humanoid_hybrid():
     return Bm / best
 
 
+def bench_second_order(model):
+    """Native IDSVA-SO sweep throughput (VERDICT r1 item 4): batched
+    second-order tensor evaluations/s, native sweep vs AD-over-gradient."""
+    from rbdtpu.dynamics import idsva_so_native, idsva_so_ad
+
+    Bs = 2048
+    key = jax.random.PRNGKey(0)
+    q = 0.5 * jax.random.normal(key, (Bs, model.nq), jnp.float32)
+    qd = 0.5 * jax.random.normal(key, (Bs, model.nv), jnp.float32)
+    qdd = 0.5 * jax.random.normal(key, (Bs, model.nv), jnp.float32)
+    R = 8
+
+    def timed(fn, label):
+        @jax.jit
+        def many(q, qd, qdd):
+            def one(acc, _):
+                outs = fn(model, q, qd, qdd)
+                return acc + 1e-12 * outs[0].sum(), None
+            acc, _ = jax.lax.scan(one, jnp.float32(0.0), None, length=R)
+            return acc
+
+        many(q, qd, qdd).block_until_ready()
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            many(q, qd, qdd).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        rate = Bs * R / best
+        log(f"idsva_so {label}: {rate:,.0f} eval/s")
+        return rate
+
+    native = timed(idsva_so_native, "native")
+    ad = timed(idsva_so_ad, "ad")
+    return native, ad
+
+
+def bench_sharded():
+    """Multi-chip scaling harness (VERDICT r1 item 6): data-parallel DDP
+    solves over a jax.sharding.Mesh, measuring per-device throughput and
+    scaling efficiency vs the 1-device mesh.
+
+    Runs on whatever devices exist: real chips when available, or the
+    8-virtual-device CPU mesh (JAX_PLATFORMS=cpu
+    XLA_FLAGS=--xla_force_host_platform_device_count=8) — same program either
+    way; on hardware the collectives ride ICI.  Prints ONE JSON line.
+    """
+    from rbdtpu.model import load_asset
+    from rbdtpu.distrib import make_mesh, sharded_ddp_solve
+    from rbdtpu.solver import DDPConfig, ee_reaching_cost
+    from rbdtpu.dynamics import rnea
+
+    model = load_asset("arm7", dtype=np.float32)
+    n_dev = len(jax.devices())
+    per_dev_B, H, iters = 16, 32, 5
+    cost = ee_reaching_cost(
+        model, jnp.array([0.3, 0.2, 0.8], jnp.float32),
+        w_ee=10.0, w_ee_f=2000.0, w_u=1e-6, w_qd=1e-3, w_qd_f=0.1,
+    )
+    cfg = DDPConfig(iters=iters, dt=0.01, n_alphas=4)
+
+    def solves_per_s(n):
+        mesh = make_mesh(n)
+        B = per_dev_B * n
+        key = jax.random.PRNGKey(0)
+        q0 = 0.3 * jax.random.normal(key, (B, model.nq), jnp.float32)
+        x0 = jnp.concatenate(
+            [q0, jnp.zeros((B, model.nv), jnp.float32)], -1
+        )
+        zero = jnp.zeros((B, model.nv), jnp.float32)
+        u_hold = rnea(model, q0, zero, zero)[0]
+        U0 = jnp.broadcast_to(u_hold[:, None, :], (B, H, model.nv))
+        f = jax.jit(
+            lambda x, U: sharded_ddp_solve(mesh, model, cost, x, U, cfg)[0]
+        )
+        J = f(x0, U0)
+        J.block_until_ready()
+        assert bool(jnp.all(jnp.isfinite(J)))
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            f(x0, U0).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        return B / best
+
+    tput1 = solves_per_s(1)
+    tputN = solves_per_s(n_dev) if n_dev > 1 else tput1
+    eff = tputN / (n_dev * tput1)
+    log(f"sharded: 1-dev {tput1:,.0f} solves/s, {n_dev}-dev {tputN:,.0f} "
+        f"solves/s, efficiency {eff:.3f}")
+    print(json.dumps({
+        "metric": "sharded_ddp_scaling",
+        "value": round(tputN),
+        "unit": "solves/s",
+        "n_devices": n_dev,
+        "per_device_1dev_solves_per_s": round(tput1),
+        "scaling_efficiency": round(eff, 3),
+        "platform": jax.devices()[0].platform,
+    }), flush=True)
+
+
 def main():
     import os
     from rbdtpu.model import load_asset
 
+    if "--sharded" in sys.argv:
+        bench_sharded()
+        return
+
     model = load_asset("arm7", dtype=np.float32)
     log(f"devices: {jax.devices()}")
-    steps_per_s = bench_tpu_rollout(model)
+    steps_per_s, flops_per_step, pct_peak = bench_tpu_rollout(model)
     base = bench_numpy_baseline(load_asset("arm7", dtype=np.float64))
     vs = steps_per_s / base if np.isfinite(base) else None
     result = {
@@ -299,6 +454,14 @@ def main():
         "vs_baseline": round(vs, 1) if vs else None,
         "fused_aba_rollout_steps_per_s": round(bench_fused_rollout(model)),
     }
+    if flops_per_step is not None and np.isfinite(flops_per_step):
+        result["flops_per_step"] = round(flops_per_step)
+        if pct_peak is not None:
+            result["pct_peak"] = round(pct_peak, 3)
+    if os.environ.get("RBDTPU_BENCH_SO") != "0":
+        so_native, so_ad = bench_second_order(model)
+        result["idsva_so_native_eval_per_s"] = round(so_native)
+        result["idsva_so_ad_eval_per_s"] = round(so_ad)
     # Solver headline configs (BASELINE.json configs[2..4]) run BY DEFAULT so
     # the driver-captured BENCH json certifies every claimed number
     # (VERDICT.md round-1 item 1).  Set RBDTPU_BENCH_<X>=0 to skip one when
@@ -313,6 +476,10 @@ def main():
     if os.environ.get("RBDTPU_BENCH_HUMANOID") != "0":
         result["humanoid_hybrid_solves_per_s"] = round(
             bench_humanoid_hybrid(), 1
+        )
+    if os.environ.get("RBDTPU_BENCH_HUMANOID_QUAT") != "0":
+        result["humanoid_hybrid_quat_solves_per_s"] = round(
+            bench_humanoid_hybrid(root_quat=True), 1
         )
     print(json.dumps(result), flush=True)
 
