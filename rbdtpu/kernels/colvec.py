@@ -150,24 +150,46 @@ def grad_pass_colvec(ms: ModelStatic, X, q, qd, v, a, f, oh, wrt: str,
         if ms.fb and i == 0:
             if wrt == "q":
                 dv_i = ls.vec6(0.0)
-                # gl: linear part of Xtree_0 @ a_grav (static floats; the
-                # angular part of a spatial transform of [0; g] is 0)
-                g6 = ls.matvec(ls.mat_from_static(ms.Xtree[0]), a_grav)
-                gl = g6[3:6]
-                sr, cr = jnp.sin(q[3]), jnp.cos(q[3])
-                sp, cp = jnp.sin(q[4]), jnp.cos(q[4])
-                sy, cy = jnp.sin(q[5]), jnp.cos(q[5])
-                dRs = ls.rpy_dR(sr, cr, sp, cp, sy, cy)
                 da_i = ls.vec6(0.0)
-                for j, dR in enumerate(dRs):  # columns 3,4,5 (rpy)
-                    # u = (dR/dtheta_j)^T gl  (E = R^T so dE gl = (dR)^T gl)
-                    for k in range(3):
-                        u_k = 0.0
-                        for m in range(3):
-                            u_k = ls._add(u_k, ls._mul(dR[m][k], gl[m]))
-                        da_i[3 + k] = ls._add(
-                            da_i[3 + k], ls._mul(oh(3 + j), u_k)
-                        )
+                if ms.quat:
+                    # TANGENT columns (solver chart, [dtheta; dp]): the root
+                    # pose enters tau only via the gravity seed
+                    # a0_lin = exp(-dtheta^) E gl, so column j (= tangent
+                    # rotation coord j, velocity index j) is w x e_j with
+                    # w = E gl = lin(X0 a_grav); translation columns vanish
+                    a0 = ls.matvec(Xi, a_grav)
+                    w0, w1, w2 = a0[3], a0[4], a0[5]
+                    neg = lambda t: ls._mul(-1.0, t)
+                    cols = (
+                        (0.0, w2, neg(w1)),       # w x e_0
+                        (neg(w2), 0.0, w0),       # w x e_1
+                        (w1, neg(w0), 0.0),       # w x e_2
+                    )
+                    for j in range(3):
+                        for k in range(3):
+                            da_i[3 + k] = ls._add(
+                                da_i[3 + k], ls._mul(oh(j), cols[j][k])
+                            )
+                else:
+                    # rpy coordinates: columns 3,4,5 seed
+                    # da0 = [0; (dR/dtheta_j)^T gl]
+                    # gl: linear part of Xtree_0 @ a_grav (static floats; the
+                    # angular part of a spatial transform of [0; g] is 0)
+                    g6 = ls.matvec(ls.mat_from_static(ms.Xtree[0]), a_grav)
+                    gl = g6[3:6]
+                    sr, cr = jnp.sin(q[3]), jnp.cos(q[3])
+                    sp, cp = jnp.sin(q[4]), jnp.cos(q[4])
+                    sy, cy = jnp.sin(q[5]), jnp.cos(q[5])
+                    dRs = ls.rpy_dR(sr, cr, sp, cp, sy, cy)
+                    for j, dR in enumerate(dRs):  # columns 3,4,5 (rpy)
+                        # u = (dR/dtheta_j)^T gl  (E = R^T: dE gl = dR^T gl)
+                        for k in range(3):
+                            u_k = 0.0
+                            for m in range(3):
+                                u_k = ls._add(u_k, ls._mul(dR[m][k], gl[m]))
+                            da_i[3 + k] = ls._add(
+                                da_i[3 + k], ls._mul(oh(3 + j), u_k)
+                            )
                 df_i = ls.matvec(ms.I[i], da_i)  # dv = 0
             else:
                 dv_i = [oh(r) for r in range(6)]  # eye block over columns
@@ -343,9 +365,10 @@ def linearize_fused(model: RobotModel, q, qd, u, dt: float,
     from ..spatial.batched import mm
     from ..solver.integrate import step_jacobians
 
-    Mi, dcq, dcd, _ = linearize_parts_fused(
+    Mi, dcq, dcd, qdd = linearize_parts_fused(
         model, q, qd, u, gravity, block_lanes, interpret
     )
     gq = -mm(Mi, dcq)
     gd = -mm(Mi, dcd)
-    return step_jacobians(model, Mi, gq, gd, dt)
+    qd_new = qd + dt * qdd if model.root_quat else None
+    return step_jacobians(model, Mi, gq, gd, dt, qd_new=qd_new)

@@ -8,10 +8,12 @@ traced kernel as python floats, producing model-specialized code — the
 TPU-native analog of the robot-specific codegen the reference was built to
 validate (README.md:5).
 
-Fixed AND floating base (the fb root uses the rpy spatial transform and the
-unrolled 6x6 lane Cholesky).  The fused DDP linearization lives in
-kernels.colvec (columns-in-sublanes layout).  Fallback: off-TPU the same
-kernels run under pallas interpret mode, bit-matching semantics for tests.
+Fixed AND floating base, both root parameterizations (rpy: lane trig
+transform; quaternion: polynomial lane quat_R + manifold lane integrator
+``_integrate_q_lane``; the root solve is the unrolled 6x6 lane Cholesky
+either way).  The fused DDP linearization lives in kernels.colvec
+(columns-in-sublanes layout).  Fallback: off-TPU the same kernels run under
+pallas interpret mode, bit-matching semantics for tests.
 """
 from __future__ import annotations
 
@@ -36,29 +38,35 @@ class ModelStatic:
     (STATIC metadata, so extraction works even when the model's numeric leaves
     are tracers — e.g. closed over inside a lax.scan body)."""
 
-    def __init__(self, parent, jtype, host_data, floating_base=False):
+    def __init__(self, parent, jtype, host_data, floating_base=False,
+                 root_quat=False):
         self.nb = len(parent)
         self.parent = parent
         self.jtype = jtype
         self.fb = bool(floating_base)
+        self.quat = bool(root_quat)
         d = dict(host_data)
         self.axis = [list(a) for a in d["axis"]]
         self.Xtree = [[list(r) for r in X] for X in d["Xtree"]]
         self.I = [[list(r) for r in M] for M in d["I"]]
         self.S = [list(s) for s in d["S"]]
-        self.nq = self.nb + 5 if self.fb else self.nb
-        self.nv = self.nq
+        self.nv = self.nb + 5 if self.fb else self.nb
+        self.nq = self.nv + 1 if self.quat else self.nv
 
     def qi(self, i):
         """q-list index of 1-DoF joint i (root handled separately for fb)."""
+        if self.quat:
+            return i + 6
         return i + 5 if self.fb else i
 
-    vi = qi
+    def vi(self, i):
+        """velocity-list index of 1-DoF joint i."""
+        return i + 5 if self.fb else i
 
 
 @functools.lru_cache(maxsize=32)
-def _static_cache(parent, jtype, host_data, fb):
-    return ModelStatic(parent, jtype, host_data, fb)
+def _static_cache(parent, jtype, host_data, fb, quat):
+    return ModelStatic(parent, jtype, host_data, fb, quat)
 
 
 def get_static(model: RobotModel) -> ModelStatic:
@@ -67,7 +75,7 @@ def get_static(model: RobotModel) -> ModelStatic:
             "model has no host_data; rebuild it with rbdtpu.model.make_model"
         )
     return _static_cache(model.parent, model.joint_type, model.host_data,
-                         model.floating_base)
+                         model.floating_base, model.root_quat)
 
 
 # ----------------------------------------------------------------------- #
@@ -83,12 +91,16 @@ def _joint_x(ms: ModelStatic, i: int, qi):
 
 def _body_x(ms: ModelStatic, i: int, q):
     """Transform of body i from the full q scalar list (fb root = 6-DoF
-    rpy+xyz joint, matching spatial.transforms.floating_spatial_x)."""
+    rpy+xyz joint, matching spatial.transforms.floating_spatial_x; quat root
+    = xyz + wxyz, matching floating_quat_spatial_x)."""
     if ms.fb and i == 0:
-        sr, cr = jnp.sin(q[3]), jnp.cos(q[3])
-        sp, cp = jnp.sin(q[4]), jnp.cos(q[4])
-        sy, cy = jnp.sin(q[5]), jnp.cos(q[5])
-        R = ls.rpy_R(sr, cr, sp, cp, sy, cy)
+        if ms.quat:
+            R = ls.quat_R(q[3], q[4], q[5], q[6])
+        else:
+            sr, cr = jnp.sin(q[3]), jnp.cos(q[3])
+            sp, cp = jnp.sin(q[4]), jnp.cos(q[4])
+            sy, cy = jnp.sin(q[5]), jnp.cos(q[5])
+            R = ls.rpy_R(sr, cr, sp, cp, sy, cy)
         return ls.floating_x(ms.Xtree[0], q[0], q[1], q[2], R)
     return _joint_x(ms, i, q[ms.qi(i)])
 
@@ -312,6 +324,25 @@ def rnea_fused(model: RobotModel, q, qd, qdd=None, gravity: float = -9.81,
     return _unpack(out, Bp)[:B]
 
 
+def _integrate_q_lane(ms: ModelStatic, q_s, qd_new, dt):
+    """Lane twin of the semi-implicit position update: flat q + dt*qd' for
+    1-DoF/rpy coordinates, manifold retraction for a quaternion root
+    (p' = p + dt R(quat) v', quat' = quat (x) exp(dt w') — matching
+    solver.integrate.config_retract).  Returns the nq-list q'."""
+    if not (ms.fb and ms.quat):
+        return [q_s[i] + dt * qd_new[i] for i in range(ms.nq)]
+    R = ls.quat_R(q_s[3], q_s[4], q_s[5], q_s[6])
+    w, v = qd_new[0:3], qd_new[3:6]
+    p_new = [
+        q_s[k] + dt * (R[k][0] * v[0] + R[k][1] * v[1] + R[k][2] * v[2])
+        for k in range(3)
+    ]
+    quat_new = ls.quat_step(q_s[3], q_s[4], q_s[5], q_s[6],
+                            w[0], w[1], w[2], dt)
+    joints = [q_s[7 + j] + dt * qd_new[6 + j] for j in range(ms.nb - 1)]
+    return p_new + list(quat_new) + joints
+
+
 def fd_step_fused(model: RobotModel, x, u, dt: float,
                   gravity: float = -9.81, block_lanes: int = 512,
                   interpret: bool | None = None):
@@ -339,10 +370,12 @@ def fd_step_fused(model: RobotModel, x, u, dt: float,
         qd_s = [x_ref[nq + i] for i in range(nv)]
         tau_s = [u_ref[i] for i in range(nv)]
         qdd = aba_lane(ms, q_s, qd_s, tau_s, gravity)
+        qd_new = [qd_s[i] + dt * qdd[i] for i in range(nv)]
+        q_new = _integrate_q_lane(ms, q_s, qd_new, dt)
         for i in range(nv):
-            qd_new = qd_s[i] + dt * qdd[i]
-            out_ref[nq + i] = qd_new
-            out_ref[i] = q_s[i] + dt * qd_new
+            out_ref[nq + i] = qd_new[i]
+        for i in range(nq):
+            out_ref[i] = q_new[i]
 
     spec_x = pl.BlockSpec((nx, 8, L), lambda b: (0, 0, b),
                           memory_space=pltpu.VMEM)
@@ -519,10 +552,12 @@ def fd_step_minv_fused(model: RobotModel, x, u, dt: float,
         Minv = minv_lane(ms, X)
         uc = [u_s[j] - c[j] for j in range(n)]
         qdd = [ls.dot(Minv[i], uc) for i in range(n)]
+        qd_new = [qd_s[i] + dt * qdd[i] for i in range(n)]
+        q_new = _integrate_q_lane(ms, q_s, qd_new, dt)
         for i in range(n):
-            qd_new = qd_s[i] + dt * qdd[i]
-            out_ref[nq + i] = qd_new
-            out_ref[i] = q_s[i] + dt * qd_new
+            out_ref[nq + i] = qd_new[i]
+        for i in range(nq):
+            out_ref[i] = q_new[i]
 
     spec_x = pl.BlockSpec((nx, 8, L), lambda b: (0, 0, b),
                           memory_space=pltpu.VMEM)

@@ -21,6 +21,7 @@ pallas_call kernels and in ordinary jit code (the fallback path).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # ----------------------------------------------------------------------- #
@@ -271,6 +272,47 @@ def rpy_dR(sr, cr, sp, cp, sy, cy):
         [0.0, 0.0, 0.0],
     ]
     return dRr, dRp, dRy
+
+
+def quat_R(w, x, y, z):
+    """Active rotation of a quaternion (wxyz lane-scalars) as a 3x3 nested
+    list.  Norm-robust form (s = 2/|q|^2) so drift away from unit norm during
+    long fused rollouts stays a rotation (spatial.quat.quat_to_R assumes unit
+    norm; the integrator below renormalizes anyway)."""
+    n2 = w * w + x * x + y * y + z * z
+    s = 2.0 / n2
+    xx, yy, zz = s * x * x, s * y * y, s * z * z
+    xy, xz, yz = s * x * y, s * x * z, s * y * z
+    wx, wy, wz = s * w * x, s * w * y, s * w * z
+    return [
+        [1.0 - (yy + zz), xy - wz, xz + wy],
+        [xy + wz, 1.0 - (xx + zz), yz - wx],
+        [xz - wy, yz + wx, 1.0 - (xx + yy)],
+    ]
+
+
+def quat_step(qw, qx, qy, qz, wx, wy, wz, dt):
+    """Manifold Euler update of a root quaternion (lane-scalars):
+    q' = normalize(q (x) exp(dt * [wx, wy, wz] / 2)) — the lane twin of
+    solver.integrate.config_retract's rotation update.  Returns (w, x, y, z).
+
+    The sinc is computed with a small-angle Taylor switch (jnp.where on lane
+    tiles; both branches finite)."""
+    ax, ay, az = dt * wx, dt * wy, dt * wz
+    n2 = ax * ax + ay * ay + az * az
+    n = jnp.sqrt(jnp.maximum(n2, 1e-24))
+    half = 0.5 * n
+    small = n2 < 1e-12
+    ew = jnp.where(small, 1.0 - n2 / 8.0, jnp.cos(half))
+    es = jnp.where(small, 0.5 - n2 / 48.0, jnp.sin(half) / n)
+    ex, ey, ez = es * ax, es * ay, es * az
+    # Hamilton product q (x) e
+    nw = qw * ew - qx * ex - qy * ey - qz * ez
+    nx = qw * ex + qx * ew + qy * ez - qz * ey
+    ny = qw * ey - qx * ez + qy * ew + qz * ex
+    nz = qw * ez + qx * ey - qy * ex + qz * ew
+    inv = jax.lax.rsqrt(nw * nw + nx * nx + ny * ny + nz * nz)
+    return inv * nw, inv * nx, inv * ny, inv * nz
 
 
 def floating_x(Xtree_static, px, py, pz, R):

@@ -108,7 +108,7 @@ def _step_plain(model, x, u, dt, gravity, route="aba"):
 
 
 def _make_step(model, config):
-    if config.fused and not model.root_quat:
+    if config.fused:
         from ..kernels.fused import fd_step_fused
 
         def step(x, u):
@@ -136,9 +136,7 @@ def _make_linearize(model, config):
         if config.fused_linearize is not None
         else config.fused
     )
-    # the lane-scalar kernels cover rpy/fixed roots; quaternion-root models
-    # take the jnp tangent-space path (manifold transport in step_jacobians)
-    if use_fused_lin and not model.root_quat:
+    if use_fused_lin:
         from ..kernels.colvec import linearize_fused
 
         def lin(X, U):

@@ -62,6 +62,8 @@ def config_diff(model: RobotModel, q1, q0):
 
 def state_retract(model: RobotModel, x, xi):
     """x (+) xi with xi (..., 2*nv) = [config tangent; velocity delta]."""
+    if not (model.floating_base and model.root_quat):
+        return x + xi
     q, qd = split_state(model, x)
     n = model.nv
     return pack_state(
@@ -71,6 +73,8 @@ def state_retract(model: RobotModel, x, xi):
 
 def state_diff(model: RobotModel, x1, x0):
     """x1 (-) x0 -> (..., 2*nv) tangent.  == x1 - x0 unless quaternion root."""
+    if not (model.floating_base and model.root_quat):
+        return x1 - x0  # flat chart: one subtract, no split/concat
     q1, qd1 = split_state(model, x1)
     q0, qd0 = split_state(model, x0)
     return jnp.concatenate([config_diff(model, q1, q0), qd1 - qd0], axis=-1)

@@ -26,8 +26,6 @@ def rollout(model: RobotModel, x0, U, dt: float, gravity: float = -9.81,
     fused=True routes each step through the fused Pallas kernel
     (kernels.fd_step_fused) when the flattened batch allows it.
     """
-    if fused and model.root_quat:
-        fused = False  # lane-scalar kernels cover rpy/fixed roots only
     if fused:
         from ..kernels.fused import fd_step_fused
 

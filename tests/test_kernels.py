@@ -166,3 +166,96 @@ def test_rollout_fused_matches_jnp(arm7, rng):
     X_j = rollout(arm7, x0, jnp.moveaxis(U, 0, -2), dt)
     np.testing.assert_allclose(np.asarray(xf_k), np.asarray(X_j[..., -1, :]),
                                rtol=1e-6, atol=1e-6)
+
+
+def _mini_fbq_model():
+    """_mini_fb_model with the quaternion root."""
+    from rbdtpu.model import parse_urdf
+
+    urdf = """<robot name=\"minifbq\">
+    <link name=\"base\"><inertial><origin xyz=\"0 0 0\"/><mass value=\"3\"/>
+      <inertia ixx=\"0.05\" iyy=\"0.05\" izz=\"0.05\" ixy=\"0\" ixz=\"0\" iyz=\"0\"/></inertial></link>
+    <link name=\"l1\"><inertial><origin xyz=\"0 0 -0.15\"/><mass value=\"1\"/>
+      <inertia ixx=\"0.01\" iyy=\"0.01\" izz=\"0.002\" ixy=\"0\" ixz=\"0\" iyz=\"0\"/></inertial></link>
+    <link name=\"l2\"><inertial><origin xyz=\"0 0 -0.1\"/><mass value=\"0.5\"/>
+      <inertia ixx=\"0.005\" iyy=\"0.005\" izz=\"0.001\" ixy=\"0\" ixz=\"0\" iyz=\"0\"/></inertial></link>
+    <joint name=\"j1\" type=\"revolute\"><origin xyz=\"0.1 0 -0.1\"/>
+      <parent link=\"base\"/><child link=\"l1\"/><axis xyz=\"0 1 0\"/></joint>
+    <joint name=\"j2\" type=\"revolute\"><origin xyz=\"0 0 -0.3\"/>
+      <parent link=\"l1\"/><child link=\"l2\"/><axis xyz=\"1 0 0\"/></joint>
+    </robot>"""
+    return parse_urdf(urdf, dtype=np.float64, floating_base=True,
+                      root_quat=True)
+
+
+def _rand_quat_state(rng, m, Bs):
+    q = rng.uniform(-0.3, 0.3, (Bs, m.nq))
+    quat = rng.standard_normal((Bs, 4))
+    q[:, 3:7] = quat / np.linalg.norm(quat, axis=-1, keepdims=True)
+    return jnp.array(q)
+
+
+def test_fused_quat_root_rnea_and_step(rng):
+    """Quaternion-root fused kernels (lane quat_R transform + manifold lane
+    integrator) match the jnp algorithms including the exp-map quat update."""
+    m = _mini_fbq_model()
+    Bs = 8
+    q = _rand_quat_state(rng, m, Bs)
+    qd = jnp.array(rng.uniform(-0.4, 0.4, (Bs, m.nv)))
+    qdd = jnp.array(rng.uniform(-1, 1, (Bs, m.nv)))
+    tau_k = rnea_fused(m, q, qd, qdd)
+    tau_j = dyn.rnea(m, q, qd, qdd)[0]
+    np.testing.assert_allclose(np.asarray(tau_k), np.asarray(tau_j),
+                               rtol=1e-8, atol=1e-8)
+    x = jnp.concatenate([q, qd], -1)
+    u = jnp.array(rng.uniform(-1, 1, (Bs, m.nv)))
+    for step_k in (fd_step_fused,):
+        x_k = step_k(m, x, u, 0.01)
+        qq, qqd = split_state(m, x)
+        x_j = euler_semi_implicit(m, x, dyn.aba(m, qq, qqd, u), 0.01)
+        np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_j),
+                                   rtol=1e-6, atol=1e-8)
+        # quat stays exactly unit
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(x_k[:, 3:7]), axis=-1), 1.0, atol=1e-9
+        )
+
+
+def test_fd_step_minv_fused_quat_root(rng):
+    from rbdtpu.kernels import fd_step_minv_fused
+
+    m = _mini_fbq_model()
+    Bs = 8
+    q = _rand_quat_state(rng, m, Bs)
+    qd = jnp.array(rng.uniform(-0.4, 0.4, (Bs, m.nv)))
+    x = jnp.concatenate([q, qd], -1)
+    u = jnp.array(rng.uniform(-1, 1, (Bs, m.nv)))
+    x_k = fd_step_minv_fused(m, x, u, 0.01)
+    qq, qqd = split_state(m, x)
+    qdd = dyn.forward_dynamics(m, qq, qqd, u)
+    x_j = euler_semi_implicit(m, x, qdd, 0.01)
+    np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_j),
+                               rtol=1e-8, atol=1e-9)
+
+
+def test_linearize_fused_quat_root(rng):
+    """Quat-root fused linearization: analytic lane tangent columns
+    (gravity-seed w x e_j construction) + SO(3) transport assembly equals
+    the jnp tangent linearization."""
+    from rbdtpu.kernels import linearize_fused
+    from rbdtpu.solver import linearize_trajectory
+
+    m = _mini_fbq_model()
+    dt = 0.01
+    Bs = 8
+    q = _rand_quat_state(rng, m, Bs)
+    qd = jnp.array(rng.uniform(-0.3, 0.3, (Bs, m.nv)))
+    u = jnp.array(rng.uniform(-1, 1, (Bs, m.nv)))
+    A_k, B_k = linearize_fused(m, q, qd, u, dt)
+    X = jnp.concatenate([q, qd], -1)[:, None, :]
+    X2 = jnp.concatenate([X, X], axis=1)
+    A_j, B_j = linearize_trajectory(m, X2, u[:, None, :], dt)
+    np.testing.assert_allclose(np.asarray(A_k), np.asarray(A_j[:, 0]),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(B_k), np.asarray(B_j[:, 0]),
+                               rtol=1e-6, atol=1e-8)
