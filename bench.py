@@ -110,15 +110,13 @@ def bench_tpu_rollout(model):
     # analysis, so count the EQUIVALENT jnp step program — same algorithm.)
     flops_per_step = pct_peak = None
     try:
-        @jax.jit
-        def roll_jnp_full(x0, U):
-            xf, _ = jax.lax.scan(step_jnp, x0, U)
-            return xf
-
-        an = roll_jnp_full.lower(x0, U).compile().cost_analysis()
+        # one UNSCANNED step at full batch: XLA's cost model counts a scan
+        # body once regardless of trip count, so analyze the body directly
+        one_step = jax.jit(lambda x, u: step_jnp(x, u)[0])
+        an = one_step.lower(x0, U[0]).compile().cost_analysis()
         an = an[0] if isinstance(an, (list, tuple)) else an
         total = float(an.get("flops", float("nan")))
-        flops_per_step = total / (B * H)
+        flops_per_step = total / B
         peak = _chip_peak_flops()
         if peak:
             pct_peak = 100.0 * flops_per_step * steps_per_s / peak
@@ -370,6 +368,72 @@ def bench_second_order(model):
     return native, ad
 
 
+def bench_riccati():
+    """Sequential vs parallel (associative-scan) Riccati backward sweep
+    latency at H in {100, 500, 1000}, small batch — the parallel sweep's
+    intended regime (VERDICT r1 item 7).  Prints ONE JSON line with the
+    measured latencies and the crossover, which justifies the
+    DDPConfig.parallel_riccati default (off: single-chip throughput work is
+    batch-dominated; on: long-horizon latency-critical solves).
+    """
+    from rbdtpu.solver.ddp import backward_pass
+    from rbdtpu.solver.parallel_riccati import backward_pass_parallel
+
+    nx, nu = 14, 7  # arm7-sized problem
+    key = jax.random.PRNGKey(0)
+    out = {"metric": "riccati_backward_latency", "unit": "ms",
+           "nx": nx, "nu": nu}
+    results = {}
+    for H in (100, 500, 1000):
+        ks = jax.random.split(key, 6)
+        # stable-ish random linearization + SPD costs
+        A = (jnp.broadcast_to(jnp.eye(nx), (H, nx, nx))
+             + 0.01 * jax.random.normal(ks[0], (H, nx, nx), jnp.float32))
+        B = 0.01 * jax.random.normal(ks[1], (H, nx, nu), jnp.float32)
+        lx = jax.random.normal(ks[2], (H, nx), jnp.float32)
+        lu = jax.random.normal(ks[3], (H, nu), jnp.float32)
+        lxx = jnp.eye(nx, dtype=jnp.float32)
+        luu = 0.1 * jnp.eye(nu, dtype=jnp.float32)
+        lux = jnp.zeros((nu, nx), jnp.float32)
+        lfx = jax.random.normal(ks[4], (nx,), jnp.float32)
+        lfxx = 10.0 * jnp.eye(nx, dtype=jnp.float32)
+        reg = jnp.float32(1e-6)
+
+        def time_fn(fn):
+            R = 20  # amortize dispatch: R sweeps per timed call, serialized
+                    # via a data-dependent scan (ONE copy of the program —
+                    # an unrolled sum of 20 sweeps OOMs the compiler)
+
+            @jax.jit
+            def g():
+                def body(c, _):
+                    k = fn(A, B, lx, lu + 1e-9 * c, lxx, luu, lux, lfx,
+                           lfxx, reg)[0]
+                    return c + 1e-20 * k.sum(), None
+                c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=R)
+                return c
+
+            g().block_until_ready()
+            best = float("inf")
+            for _ in range(5):
+                t0 = time.perf_counter()
+                g().block_until_ready()
+                best = min(best, (time.perf_counter() - t0) / R)
+            return best * 1e3
+
+        t_seq = time_fn(backward_pass)
+        t_par = time_fn(backward_pass_parallel)
+        results[H] = (t_seq, t_par)
+        log(f"riccati H={H}: sequential {t_seq:.3f} ms, parallel "
+            f"{t_par:.3f} ms ({t_seq / t_par:.2f}x)")
+        out[f"sequential_ms_H{H}"] = round(t_seq, 3)
+        out[f"parallel_ms_H{H}"] = round(t_par, 3)
+    out["value"] = out["parallel_ms_H1000"]
+    crossover = [H for H, (ts, tp) in results.items() if tp < ts]
+    out["parallel_wins_at_H"] = crossover
+    print(json.dumps(out), flush=True)
+
+
 def bench_sharded():
     """Multi-chip scaling harness (VERDICT r1 item 6): data-parallel DDP
     solves over a jax.sharding.Mesh, measuring per-device throughput and
@@ -440,6 +504,9 @@ def main():
 
     if "--sharded" in sys.argv:
         bench_sharded()
+        return
+    if "--riccati" in sys.argv:
+        bench_riccati()
         return
 
     model = load_asset("arm7", dtype=np.float32)

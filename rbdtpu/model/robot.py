@@ -145,18 +145,6 @@ class RobotModel:
         has_child = set(self.parent)
         return tuple(i for i in range(self.nb) if i not in has_child)
 
-    def topo_levels(self) -> Tuple[Tuple[int, ...], ...]:
-        """Bodies grouped by tree depth (root level first) — the per-level
-        parallel schedule used by the batched sweeps (SURVEY.md §7, P4)."""
-        depth = [0] * self.nb
-        for i in range(self.nb):
-            p = self.parent[i]
-            depth[i] = 0 if p == -1 else depth[p] + 1
-        nlev = max(depth) + 1 if self.nb else 0
-        return tuple(
-            tuple(i for i in range(self.nb) if depth[i] == lev) for lev in range(nlev)
-        )
-
     def ancestor_mask(self) -> np.ndarray:
         """(NB, NB) bool; [i, j] True iff j is a strict ancestor of i.  The dense
         replacement for the reference's ragged ancestor lists (SURVEY.md §7)."""
