@@ -68,8 +68,11 @@ class DDPConfig:
     # fast Mosaic compiles — kernels.colvec)
     fused_linearize: bool | None = None
     # O(log H) associative-scan Riccati (solver.parallel_riccati) instead of
-    # the sequential scan — exact-regularization convention
-    parallel_riccati: bool = False
+    # the sequential scan — exact-regularization convention.  None = AUTO:
+    # parallel when the flattened problem batch is tiny (<= 4) and H >= 100,
+    # the measured win regime (v5e, nx=14: 4.6x at B=1/H=200, wash at B=8,
+    # batch-dominated beyond — BASELINE.md "Riccati backward sweep")
+    parallel_riccati: bool | None = None
     # rollout dynamics route for the un-fused step: "aba" (O(n), default) or
     # "minv" (Minv + RNEA, BASELINE configs[1] path — the exact mirror of the
     # oracle's forward_dynamics for control-parity runs)
@@ -345,6 +348,28 @@ def ddp_solve(
         X = jnp.moveaxis(X_t, 0, -2)
         return jnp.concatenate([x[..., None, :], X], axis=-2)
 
+    H_len = U0.shape[-2]
+    batch_flat = 1
+    for b in batch:
+        batch_flat *= b
+    use_parallel = (
+        config.parallel_riccati
+        if config.parallel_riccati is not None
+        else (
+            batch_flat <= 4 and H_len >= 100
+            and jax.default_backend() == "tpu"  # measured win regime is
+            # accelerator-only; CPU (tests, oracle parity) keeps the
+            # sequential sweep's iterate path
+        )
+    )
+    if config.exact_hessians and use_parallel:
+        if config.parallel_riccati:
+            raise ValueError(
+                "parallel_riccati solves the LQR subproblem and cannot fold "
+                "the exact-Hessian fxx terms; use the sequential sweep"
+            )
+        use_parallel = False  # auto mode defers to the exact-Hessian sweep
+
     X0 = roll0(x0, U0)
     J0 = trajectory_cost(cost, X0, U0)
     state = DDPState(
@@ -371,7 +396,7 @@ def ddp_solve(
 
             q, qd = split_state(model, state.X[..., :-1, :])
             fxx = fdsva_so(model, q, qd, state.U, gravity)
-        if config.parallel_riccati:
+        if use_parallel:
             from .parallel_riccati import backward_pass_parallel
 
             k, K, dV1, ok = backward_pass_parallel(

@@ -44,7 +44,8 @@ def test_ddp_control_parity_northstar(arm7, oracle, rng):
 
     from rbdtpu.dynamics import rnea
 
-    cfg = DDPConfig(iters=ITERS, dt=DT, n_alphas=8, rollout_route="minv")
+    cfg = DDPConfig(iters=ITERS, dt=DT, n_alphas=8, rollout_route="minv",
+                    parallel_riccati=False)  # mirror the numpy oracle sweep
     for p in range(N_PROBLEMS):
         # gravity-compensation warm start: a zero-torque nominal physically
         # diverges over the 1 s horizon (same as bench.py's MPC config)
@@ -116,7 +117,8 @@ def test_ddp_control_parity_floating_base(quadruped12fb, rng):
     x_goal[2] = 0.4
     U0 = np.zeros((Hf, m.nv))
 
-    cfg = DDPConfig(iters=itf, dt=DT, n_alphas=8, rollout_route="minv")
+    cfg = DDPConfig(iters=itf, dt=DT, n_alphas=8, rollout_route="minv",
+                    parallel_riccati=False)  # mirror the numpy oracle sweep
     cost = quadratic_tracking_cost(m, jnp.array(x_goal))
     state, _ = ddp_solve(m, cost, jnp.array(x0), jnp.array(U0), cfg)
     U_ours = np.asarray(state.U)

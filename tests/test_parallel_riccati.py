@@ -95,7 +95,8 @@ def test_ddp_with_parallel_riccati(arm7, rng):
         DDPConfig(iters=8, dt=0.02, n_alphas=6, parallel_riccati=True),
     )
     st_seq, _ = ddp_solve(
-        arm7, cost, x0, U0, DDPConfig(iters=8, dt=0.02, n_alphas=6),
+        arm7, cost, x0, U0,
+        DDPConfig(iters=8, dt=0.02, n_alphas=6, parallel_riccati=False),
     )
     assert float(st_par.J) < 0.3 * float(J0)
     # both converge to comparable cost (different iterates are expected)
