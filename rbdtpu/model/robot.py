@@ -218,8 +218,13 @@ def make_model(
             raise ValueError(
                 f"bodies must be topologically ordered: parent[{i}]={p}"
             )
-    if sum(1 for p in parent if p == -1) != 1:
-        raise ValueError("exactly one root body expected")
+    n_roots = sum(1 for p in parent if p == -1)
+    if n_roots < 1:
+        raise ValueError("at least one root body expected")
+    if floating_base and n_roots != 1:
+        # a floating base is ONE free body; fixed-base trees may hang any
+        # number of joints off the world (multi-limb torso, fixed quadruped)
+        raise ValueError("floating_base model must have exactly one root")
     if floating_base and joint_type[0] != FLOATING:
         raise ValueError("floating_base model must have a FLOATING root joint")
     if root_quat and not floating_base:

@@ -81,3 +81,29 @@ def test_limits_default_inf():
     assert np.isinf(np.asarray(m.q_lower)).all()
     assert np.isinf(np.asarray(m.q_upper)).all()
     np.testing.assert_allclose(np.asarray(m.effort_limit), 5.0)
+
+
+def test_multi_root_fixed_base():
+    """A fixed-base model may hang several joints off the world (fixed
+    quadruped = 4-root forest); every sweep treats parent==-1 generically.
+    (Floating base still requires exactly one root body.)"""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rbdtpu.model import load_asset
+    from rbdtpu.dynamics import rnea, aba, crba, minv, idsva_so_native
+
+    m = load_asset("quadruped12", dtype=np.float64)  # fixed base
+    assert sum(1 for p in m.parent if p == -1) == 4
+    rng = np.random.default_rng(5)
+    q, qd, tau = (jnp.array(rng.uniform(-1, 1, m.nv)) for _ in range(3))
+    qdd = aba(m, q, qd, tau)
+    np.testing.assert_allclose(
+        np.asarray(rnea(m, q, qd, qdd)[0]), np.asarray(tau), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(crba(m, q) @ minv(m, q)), np.eye(m.nv), atol=1e-8
+    )
+    d2q = idsva_so_native(m, q, qd, qdd)[0]
+    H2 = jax.jacfwd(jax.jacfwd(lambda q_: rnea(m, q_, qd, qdd)[0]))(q)
+    np.testing.assert_allclose(np.asarray(d2q), np.asarray(H2), atol=1e-8)
