@@ -392,6 +392,164 @@ def fd_step_fused(model: RobotModel, x, u, dt: float,
     return _unpack(out, Bp)[:B]
 
 
+def _feedback_rows_total(nx: int, nv: int, ndx: int) -> int:
+    """Sublane rows live in VMEM per lane-column of the feedback kernel:
+    inputs x, X_t (nx each), U_t, k_t (nv each), K_t (nv*ndx) + outputs
+    x_new (nx), u (nv)."""
+    return 3 * nx + 3 * nv + nv * ndx
+
+
+def feedback_lane_budget(nx: int, nv: int, ndx: int) -> int:
+    """Max lane-block width whose double-buffered footprint fits the ~16MB
+    scoped-VMEM limit (6MB single-buffered budget — measured: the Mosaic
+    stack allocates ~1.9x the block bytes).  The K gain block (nv*ndx rows)
+    dominates: humanoid-size K fits only at narrow lane widths, i.e. small
+    (alpha x batch) products."""
+    per_lane = _feedback_rows_total(nx, nv, ndx) * 8 * 4  # f32 (8,L) tiles
+    return (6 * 1024 * 1024) // per_lane
+
+
+def feedback_fused_ok(model: RobotModel, batch_total: int) -> bool:
+    """True when feedback_rollout_fused can run batch_total trajectories
+    (the solver's alpha-ladder x problem batch) without blowing scoped VMEM
+    or degenerating to sub-128-lane blocks at large batch."""
+    if batch_total % 8 != 0:
+        return False
+    nv = int(model.nv)
+    nx = int(model.nq) + nv
+    BT = _pad_batch(batch_total) // 8
+    return feedback_lane_budget(nx, nv, 2 * nv) >= min(BT, 128)
+
+
+def feedback_rollout_fused(model: RobotModel, x0, X_nom, U_nom, k_ff, K_fb,
+                           dt: float, gravity: float = -9.81,
+                           interpret: bool | None = None):
+    """Closed-loop line-search rollout with the FEEDBACK LAW fused into the
+    dynamics kernel, scanning in packed lane layout.
+
+    The DDP forward pass previously interleaved, per knot: a jnp feedback
+    (u = U + a k + K dx), a (B, n)->(n, 8, L) pack, the fused dynamics
+    kernel, and an unpack — two layout round-trips through HBM and several
+    fusion boundaries per step, which dominated the MPC iteration (62% of
+    iter time at the arm benchmark).  Here everything is packed ONCE up
+    front (one transpose per input for the whole horizon), the lax.scan
+    carries the packed state, and each step is ONE kernel: dx = x - X_t,
+    u = U_t + k_t + K_t dx (the alpha ladder is pre-folded into k_ff),
+    ABA, semi-implicit Euler — no per-step layout ops at all.
+
+    x0 (B, nx); X_nom/U_nom/k_ff (B, H, nx/nv/nv); K_fb (B, H, nv, 2*nv).
+    Returns (X_new (B, H, nx) — states 1..H, U_new (B, H, nv)).
+    The state difference feeding the gains is the TANGENT diff
+    (solver.integrate.state_diff): the flat x - X_t for fixed-base and rpy
+    roots (nx == 2*nv), and for the quaternion root the in-kernel manifold
+    diff [quat_log_rel, R0^T dp, flat joint/velocity rows] (2*nv != nx).
+    """
+    ms = get_static(model)
+    nq, nv = ms.nq, ms.nv
+    nx = nq + nv
+    ndx = 2 * nv  # tangent dim (== nx unless quaternion root)
+    B, H = U_nom.shape[-3], U_nom.shape[-2]
+    if interpret is None:
+        interpret = not _on_tpu()
+    Bp = _pad_batch(B)
+    if Bp != B:
+        x0 = jnp.concatenate(
+            [x0, jnp.zeros((Bp - B, nx), x0.dtype)], axis=0)
+        X_nom = jnp.concatenate(
+            [X_nom, jnp.zeros((Bp - B, H, nx), X_nom.dtype)], axis=0)
+        U_nom = jnp.concatenate(
+            [U_nom, jnp.zeros((Bp - B, H, nv), U_nom.dtype)], axis=0)
+        k_ff = jnp.concatenate(
+            [k_ff, jnp.zeros((Bp - B, H, nv), k_ff.dtype)], axis=0)
+        K_fb = jnp.concatenate(
+            [K_fb, jnp.zeros((Bp - B, H, nv, ndx), K_fb.dtype)], axis=0)
+    if ms.fb and ms.quat:
+        # padded lanes run the kernel too: identity quats keep quat_log_rel
+        # and the root solve finite on the padding
+        x0 = x0.at[B:, 3].set(1.0) if Bp != B else x0
+        X_nom = X_nom.at[B:, :, 3].set(1.0) if Bp != B else X_nom
+    BT = Bp // 8
+    allowed = feedback_lane_budget(nx, nv, ndx)
+    L = _pick_lanes(Bp, min(512, allowed))
+    if L > allowed:  # _pick_lanes full-width fallback would blow VMEM
+        cands = [d for d in range(1, min(allowed, BT) + 1) if BT % d == 0]
+        if not cands:
+            raise ValueError(
+                f"feedback kernel K block (nv*ndx={nv * ndx}) exceeds VMEM "
+                "even at 1 lane; use the jnp forward pass"
+            )
+        L = max(cands)
+    nblocks = BT // L
+
+    # pack the whole horizon once: (B, H, r) -> (H, r, 8, BT)
+    packH = lambda a, r: jnp.transpose(a, (1, 2, 0)).reshape(H, r, 8, BT)
+    Xn_p = packH(X_nom, nx)
+    Un_p = packH(U_nom, nv)
+    k_p = packH(k_ff, nv)
+    K_p = packH(K_fb.reshape(Bp, H, nv * ndx), nv * ndx)
+    x_p = _pack(x0, nx)
+
+    def kernel(x_ref, Xt_ref, Ut_ref, kt_ref, Kt_ref, xo_ref, uo_ref):
+        x = [x_ref[i] for i in range(nx)]
+        if ms.fb and ms.quat:
+            xn = [Xt_ref[i] for i in range(nx)]
+            dth = ls.quat_log_rel(
+                (xn[3], xn[4], xn[5], xn[6]), (x[3], x[4], x[5], x[6])
+            )
+            R0 = ls.quat_R(xn[3], xn[4], xn[5], xn[6])
+            d = [x[i] - xn[i] for i in range(3)]
+            dp = [
+                R0[0][k] * d[0] + R0[1][k] * d[1] + R0[2][k] * d[2]
+                for k in range(3)
+            ]  # R0^T (p - p_nom): world delta in nominal body frame
+            dx = (
+                list(dth) + dp
+                + [x[i] - xn[i] for i in range(7, nx)]
+            )
+        else:
+            dx = [x[i] - Xt_ref[i] for i in range(nx)]
+        u = []
+        for i in range(nv):
+            acc = Ut_ref[i] + kt_ref[i]
+            for j in range(ndx):
+                acc = acc + Kt_ref[i * ndx + j] * dx[j]
+            u.append(acc)
+        q_s, qd_s = x[:nq], x[nq:]
+        qdd = aba_lane(ms, q_s, qd_s, u, gravity)
+        qd_new = [qd_s[i] + dt * qdd[i] for i in range(nv)]
+        q_new = _integrate_q_lane(ms, q_s, qd_new, dt)
+        for i in range(nq):
+            xo_ref[i] = q_new[i]
+        for i in range(nv):
+            xo_ref[nq + i] = qd_new[i]
+            uo_ref[i] = u[i]
+
+    mkspec = lambda rows: pl.BlockSpec((rows, 8, L), lambda b: (0, 0, b),
+                                       memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[mkspec(nx), mkspec(nx), mkspec(nv), mkspec(nv),
+                  mkspec(nv * ndx)],
+        out_specs=(mkspec(nx), mkspec(nv)),
+        out_shape=(jax.ShapeDtypeStruct((nx, 8, BT), x0.dtype),
+                   jax.ShapeDtypeStruct((nv, 8, BT), x0.dtype)),
+        interpret=interpret,
+    )
+
+    def step(x_c, inp):
+        Xt, Ut, kt, Kt = inp
+        x_new, u = call(x_c, Xt, Ut, kt, Kt)
+        return x_new, (x_new, u)
+
+    _, (X_st, U_st) = jax.lax.scan(step, x_p, (Xn_p, Un_p, k_p, K_p))
+    # (H, r, 8, BT) -> (B, H, r): one transpose for the whole trajectory
+    unpackH = lambda a, r: jnp.transpose(
+        a.reshape(H, r, Bp), (2, 0, 1)
+    )[:B]
+    return unpackH(X_st, nx), unpackH(U_st, nv)
+
+
 def rollout_fused(model: RobotModel, x0, U, dt: float,
                   gravity: float = -9.81, interpret: bool | None = None):
     """Rollout driven by the fused step kernel: x0 (B, 2n), U (H, B, n)

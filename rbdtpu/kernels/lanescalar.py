@@ -315,6 +315,31 @@ def quat_step(qw, qx, qy, qz, wx, wy, wz, dt):
     return inv * nw, inv * nx, inv * ny, inv * nz
 
 
+def quat_log_rel(q0, q1):
+    """Rotation-vector log of conj(q0) (x) q1 on lane-scalars — the lane twin
+    of spatial.quat: quat_log(quat_mul(quat_conj(q0), q1)), including the
+    minimal-rotation sign fix and the small-angle Taylor branch (same 1e-12
+    squared-angle threshold so the fused feedback pass matches the jnp
+    forward pass bitwise-closely).  q0/q1 are (w, x, y, z) 4-tuples; returns
+    the 3-tuple tangent."""
+    aw, ax, ay, az = q0
+    bw, bx, by, bz = q1
+    # Hamilton product conj(a) (x) b
+    rw = aw * bw + ax * bx + ay * by + az * bz
+    rx = aw * bx - ax * bw - ay * bz + az * by
+    ry = aw * by + ax * bz - ay * bw - az * bx
+    rz = aw * bz - ax * by + ay * bx - az * bw
+    sgn = jnp.where(rw < 0, -1.0, 1.0)
+    rw, rx, ry, rz = sgn * rw, sgn * rx, sgn * ry, sgn * rz
+    w = jnp.clip(rw, -1.0, 1.0)
+    n2 = rx * rx + ry * ry + rz * rz
+    n = jnp.sqrt(jnp.maximum(n2, 1e-12))
+    angle = 2.0 * jnp.arctan2(n, w)
+    small = n2 < 1e-12
+    scale = jnp.where(small, 2.0 / jnp.maximum(w, 0.5), angle / n)
+    return scale * rx, scale * ry, scale * rz
+
+
 def floating_x(Xtree_static, px, py, pz, R):
     """Spatial motion transform of the floating 6-DoF root:
     X = plux(R^T, p) @ Xtree  (world -> body)."""

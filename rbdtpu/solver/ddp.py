@@ -318,6 +318,33 @@ def forward_pass(model: RobotModel, cost: Cost, X, U, k, K, alphas, dt,
     return X_new, U_new, Js
 
 
+def forward_pass_fused(model: RobotModel, cost: Cost, X, U, k, K, alphas,
+                       dt, gravity):
+    """forward_pass with the feedback law fused into the rollout kernel
+    (kernels.feedback_rollout_fused): the whole alpha ladder x problem batch
+    flattens into one packed lane batch, scanned with zero per-step layout
+    ops.  Same contract as forward_pass."""
+    from ..kernels.fused import feedback_rollout_fused
+
+    n_alpha = alphas.shape[0]
+    batch = U.shape[:-2]
+    bx = lambda a: jnp.broadcast_to(a[None], (n_alpha,) + a.shape)
+    al = alphas.reshape((n_alpha,) + (1,) * (len(batch) + 2))
+    k_eff = al * bx(k)
+    nb_lead = len(batch) + 1
+    flat = lambda a: a.reshape((-1,) + a.shape[nb_lead:])
+    X_b, U_b, K_b, k_b = flat(bx(X)), flat(bx(U)), flat(bx(K)), flat(k_eff)
+    X_new, U_new = feedback_rollout_fused(
+        model, X_b[..., 0, :], X_b[..., :-1, :], U_b, k_b, K_b, dt, gravity
+    )
+    lead = (n_alpha,) + batch
+    X_new = jnp.concatenate([X_b[..., 0:1, :], X_new], axis=-2)
+    X_new = X_new.reshape(lead + X_new.shape[1:])
+    U_new = U_new.reshape(lead + U_new.shape[1:])
+    Js = trajectory_cost(cost, X_new, U_new)
+    return X_new, U_new, Js
+
+
 def ddp_solve(
     model: RobotModel,
     cost: Cost,
@@ -369,6 +396,18 @@ def ddp_solve(
                 "the exact-Hessian fxx terms; use the sequential sweep"
             )
         use_parallel = False  # auto mode defers to the exact-Hessian sweep
+    # fused feedback rollout: whole (alpha x batch) line search in packed
+    # lane layout, feedback law (tangent-space, incl. the quat-root manifold
+    # diff) inside the dynamics kernel.  u_limits clamps inside the jnp
+    # pass; large-batch humanoid-size K gain blocks (nv*2nv rows) exceed
+    # VMEM -> jnp pass (kernels.fused.feedback_fused_ok)
+    from ..kernels.fused import feedback_fused_ok
+
+    use_fused_fwd = (
+        config.fused
+        and u_clip is None
+        and feedback_fused_ok(model, batch_flat * config.n_alphas)
+    )
 
     X0 = roll0(x0, U0)
     J0 = trajectory_cost(cost, X0, U0)
@@ -407,10 +446,15 @@ def ddp_solve(
                 A, B, lx, lu, lxx, luu, lux, lfx, lfxx, state.reg,
                 fxx=fxx, dt=dt,
             )
-        Xs, Us, Js = forward_pass(
-            model, cost, state.X, state.U, k, K, alphas, dt, gravity,
-            step_fn, u_clip=u_clip,
-        )
+        if use_fused_fwd:
+            Xs, Us, Js = forward_pass_fused(
+                model, cost, state.X, state.U, k, K, alphas, dt, gravity
+            )
+        else:
+            Xs, Us, Js = forward_pass(
+                model, cost, state.X, state.U, k, K, alphas, dt, gravity,
+                step_fn, u_clip=u_clip,
+            )
         Js = jnp.where(jnp.isfinite(Js), Js, jnp.inf)  # (n_alpha, ...)
         best = jnp.argmin(Js, axis=0)  # (...)
         J_best = jnp.min(Js, axis=0)

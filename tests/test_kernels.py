@@ -259,3 +259,68 @@ def test_linearize_fused_quat_root(rng):
                                rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(np.asarray(B_k), np.asarray(B_j[:, 0]),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_fused_feedback_forward_pass_quat_root(quadruped12quat, rng):
+    """feedback_rollout_fused on a QUATERNION-root model: the in-kernel
+    manifold state diff (quat_log_rel + R0^T dp) must reproduce the jnp
+    forward pass (solver.integrate.state_diff feedback) exactly."""
+    from rbdtpu.solver.ddp import forward_pass, forward_pass_fused
+    from rbdtpu.solver import ee_reaching_cost
+
+    m = quadruped12quat
+    Bm, H = 2, 6
+    nx, nv, ndx = m.nq + m.nv, m.nv, 2 * m.nv
+    cost = ee_reaching_cost(m, jnp.array([0.2, 0.1, 0.3]))
+    q0 = jnp.zeros((Bm, m.nq)).at[:, 2].set(0.35).at[:, 3].set(1.0)
+    from rbdtpu.solver.integrate import config_retract
+
+    q0 = config_retract(
+        m, q0, 0.05 * jnp.array(rng.standard_normal((Bm, nv)))
+    )
+    x0 = jnp.concatenate([q0, jnp.zeros((Bm, nv))], -1)
+    # nominal trajectory: open-loop rollout of small random controls
+    from rbdtpu.solver.ddp import _step_plain
+
+    U = 0.1 * jnp.array(rng.standard_normal((Bm, H, nv)))
+    Xs = [x0]
+    for t in range(H):
+        Xs.append(_step_plain(m, Xs[-1], U[:, t], 0.01, -9.81))
+    X = jnp.stack(Xs, axis=1)  # (B, H+1, nx)
+    k = 0.05 * jnp.array(rng.standard_normal((Bm, H, nv)))
+    K = 0.05 * jnp.array(rng.standard_normal((Bm, H, nv, ndx)))
+    alphas = jnp.array([1.0, 0.5, 0.0, 0.25])
+    X_j, U_j, J_j = forward_pass(m, cost, X, U, k, K, alphas, 0.01, -9.81)
+    X_f, U_f, J_f = forward_pass_fused(
+        m, cost, X, U, k, K, alphas, 0.01, -9.81
+    )
+    np.testing.assert_allclose(np.asarray(U_f), np.asarray(U_j), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(X_f), np.asarray(X_j), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(J_f), np.asarray(J_j), rtol=1e-9)
+
+
+def test_fused_feedback_forward_pass_matches_jnp(arm7, rng):
+    """The packed feedback-rollout kernel (feedback law fused into the
+    dynamics step, zero per-step layout ops) produces EXACTLY the jnp
+    forward pass: same accepted costs and controls after several DDP
+    iterations.  u_limits=True forces the jnp pass (limits are inf, so the
+    math is identical — only the forward-pass implementation differs)."""
+    from rbdtpu.solver import DDPConfig, ddp_solve, ee_reaching_cost
+    from rbdtpu.dynamics import rnea
+
+    m = arm7
+    cost = ee_reaching_cost(m, jnp.array([0.3, 0.2, 0.6]))
+    Bm, H = 2, 8
+    q0 = jnp.array(rng.uniform(-0.3, 0.3, (Bm, m.nq)))
+    x0 = jnp.concatenate([q0, jnp.zeros((Bm, m.nv))], -1)
+    zero = jnp.zeros((Bm, m.nv))
+    U0 = jnp.broadcast_to(
+        rnea(m, q0, zero, zero)[0][:, None, :], (Bm, H, m.nv)
+    )
+    cfg = dict(iters=3, dt=0.01, n_alphas=4, fused=True)
+    s_f, _ = ddp_solve(m, cost, x0, U0, DDPConfig(**cfg))
+    s_j, _ = ddp_solve(m, cost, x0, U0, DDPConfig(**cfg, u_limits=True))
+    np.testing.assert_allclose(np.asarray(s_f.J), np.asarray(s_j.J),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(s_f.U), np.asarray(s_j.U),
+                               atol=1e-9)
