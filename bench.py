@@ -312,20 +312,22 @@ def bench_humanoid_hybrid(root_quat: bool = False):
     U0 = jnp.broadcast_to(u_hold[:, None, :], (Bm, H, model.nv))
     mcfg = MPPIConfig(n_samples=128, sigma=0.3, dt=0.01, fused=True)
     dcfg = DDPConfig(iters=4, dt=0.01, n_alphas=4, fused=True)
-    keys = jax.random.split(jax.random.PRNGKey(3), Bm)
-    f = jax.jit(jax.vmap(
+    # natively batched hybrid (problems x samples flatten into ONE fused
+    # rollout lane batch; vmap-of-problems would block the packed kernels)
+    key = jax.random.PRNGKey(3)
+    f = jax.jit(
         lambda x, U, k: hybrid_solve(model, cost, x, U, k, mcfg, dcfg,
                                      mppi_iters=4)[0].J
-    ))
+    )
     t0 = time.perf_counter()
-    J = f(x0, U0, keys)
+    J = f(x0, U0, key)
     J.block_until_ready()
     log(f"humanoid compile+1: {time.perf_counter()-t0:.1f}s "
         f"finite_frac={float(jnp.mean(jnp.isfinite(J).astype(jnp.float32))):.3f}")
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        f(x0, U0, keys).block_until_ready()
+        f(x0, U0, key).block_until_ready()
         best = min(best, time.perf_counter() - t0)
     log(f"humanoid hybrid: {best*1e3:.1f} ms for {Bm} solves -> "
         f"{Bm/best:,.1f} solves/s (H={H}, MPPI 4x128 + DDP 4)")

@@ -24,8 +24,12 @@ def hybrid_solve(
     ddp_config: DDPConfig = DDPConfig(),
     mppi_iters: int = 8,
 ):
-    """MPPI warm start -> DDP refinement.  Single problem (vmap for batches
-    of problems; the MPPI stage itself is internally batched over samples).
+    """MPPI warm start -> DDP refinement.  NATIVELY BATCHED over leading
+    problem dims (x0 (..., nx), U0 (..., H, nv), one key): the MPPI stage
+    flattens problems x samples into one fused rollout batch and the DDP
+    stage is natively batched — prefer this over vmap-of-problems, which
+    blocks the packed-lane Pallas kernels from engaging at their efficient
+    widths.
 
     Returns (DDPState, (mppi_hist, ddp_hist))."""
     U_warm, mppi_hist = mppi_solve(

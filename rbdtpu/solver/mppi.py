@@ -41,55 +41,78 @@ def mppi_step(
 ):
     """One MPPI update: sample perturbations, roll out in parallel, reweight.
 
-    x0 (nx,), U (H, nv) -> (U_new, mean_cost).  jit/vmap-closed.
+    NATIVELY BATCHED over leading problem dims: x0 (..., nx), U (..., H, nv)
+    with ONE key — perturbations for every problem and sample are drawn in a
+    single call, and problems x samples flatten into ONE rollout batch.
+    That flattening (rather than vmap-of-problems) is what lets the fused
+    Pallas step kernel engage at its efficient lane widths for multi-
+    scenario humanoid-class solves.  Single-problem calls (batch = ()) draw
+    identical noise to the historical per-problem API.  Returns
+    (U_new (..., H, nv), accepted cost (...,)).
     """
-    H, nu = U.shape
-    eps = config.sigma * jax.random.normal(
-        key, (config.n_samples, H, nu), U.dtype
-    )
+    batch = U.shape[:-2]
+    H, nu = U.shape[-2:]
+    nx = x0.shape[-1]
+    S = config.n_samples
+    eps = config.sigma * jax.random.normal(key, batch + (S, H, nu), U.dtype)
     # include the unperturbed nominal as a candidate: the update can never
     # move weight off a strictly better current plan
-    eps = eps.at[0].set(0.0)
-    U_samp = U[None] + eps
+    eps = eps.at[..., 0, :, :].set(0.0)
+    U_samp = U[..., None, :, :] + eps
     if config.u_limits:
         lim = model.u_limit_vector().astype(U.dtype)
         U_samp = jnp.clip(U_samp, -lim, lim)
-        eps = U_samp - U[None]  # weighted update stays inside the box
+        # weighted update stays inside the box
+        eps = U_samp - U[..., None, :, :]
 
-    X_samp = rollout(model, jnp.broadcast_to(x0, (config.n_samples,) + x0.shape),
-                     U_samp, config.dt, config.gravity, fused=config.fused)
-    Js = jax.vmap(lambda X, Uc: trajectory_cost(cost, X, Uc))(X_samp, U_samp)
+    x0_b = jnp.broadcast_to(x0[..., None, :], batch + (S, nx))
+    X_samp = rollout(
+        model, x0_b.reshape((-1, nx)), U_samp.reshape((-1, H, nu)),
+        config.dt, config.gravity, fused=config.fused,
+    ).reshape(batch + (S, H + 1, nx))
+    Js = trajectory_cost(cost, X_samp, U_samp)
     Js = jnp.where(jnp.isfinite(Js), Js, jnp.inf)
-    beta = jnp.min(Js)
+    beta = jnp.min(Js, axis=-1)
     # lambda scaled by the mean excursion above the best sample (robust to
     # outlier rollouts, unlike max-min)
-    finite = jnp.where(jnp.isfinite(Js), Js, beta)
-    lam = config.temperature * (jnp.mean(finite) - beta) + 1e-10
-    w = jax.nn.softmax(-(Js - beta) / lam)
-    U_new = U + jnp.einsum("s,shu->hu", w, eps)
-    # acceptance guard: keep the better of {weighted update, best sample}
-    # and never regress below the unperturbed nominal (Js[0]) — the sampling
-    # analog of DDP's line-search rejection (solver-level failure guard,
-    # SURVEY.md §5)
-    X_new = rollout(model, x0[None], U_new[None], config.dt, config.gravity,
-                    fused=config.fused)[0]
-    J_new = trajectory_cost(cost, X_new, U_new)
-    cand_J = jnp.stack([J_new, beta, Js[0]])
-    pick = jnp.argmin(cand_J)
-    U_out = jax.lax.switch(
-        pick, [lambda: U_new, lambda: U_samp[jnp.argmin(Js)], lambda: U]
+    finite = jnp.where(jnp.isfinite(Js), Js, beta[..., None])
+    lam = (
+        config.temperature * (jnp.mean(finite, axis=-1) - beta) + 1e-10
     )
-    return U_out, cand_J[pick]
+    w = jax.nn.softmax(-(Js - beta[..., None]) / lam[..., None], axis=-1)
+    U_new = U + jnp.einsum("...s,...shu->...hu", w, eps)
+    # acceptance guard: keep the better of {weighted update, best sample}
+    # and never regress below the unperturbed nominal (Js[..., 0]) — the
+    # sampling analog of DDP's line-search rejection (solver-level failure
+    # guard, SURVEY.md §5)
+    X_new = rollout(
+        model, x0.reshape((-1, nx)), U_new.reshape((-1, H, nu)),
+        config.dt, config.gravity, fused=config.fused,
+    ).reshape(batch + (H + 1, nx))
+    J_new = trajectory_cost(cost, X_new, U_new)
+    U_best = jnp.take_along_axis(
+        U_samp, jnp.argmin(Js, axis=-1)[..., None, None, None], axis=-3
+    )[..., 0, :, :]
+    cand_J = jnp.stack([J_new, beta, Js[..., 0]], axis=-1)
+    pick = jnp.argmin(cand_J, axis=-1)
+    pick_e = pick[..., None, None]
+    U_out = jnp.where(
+        pick_e == 0, U_new, jnp.where(pick_e == 1, U_best, U)
+    )
+    J_out = jnp.take_along_axis(cand_J, pick[..., None], axis=-1)[..., 0]
+    return U_out, J_out
 
 
 def mppi_solve(model, cost, x0, U0, key, iters: int = 16,
                config: MPPIConfig = MPPIConfig()):
-    """Iterated MPPI refinement; returns (U, cost_history)."""
+    """Iterated MPPI refinement (batched like ``mppi_step``); returns
+    (U, cost_history (iters, ...))."""
     def step(carry, key_t):
         U, _ = carry
         U_new, J = mppi_step(model, cost, x0, U, key_t, config)
         return (U_new, J), J
 
     keys = jax.random.split(key, iters)
-    (U, J), hist = jax.lax.scan(step, (U0, jnp.inf), keys)
+    J0 = jnp.full(U0.shape[:-2], jnp.inf, U0.dtype)
+    (U, J), hist = jax.lax.scan(step, (U0, J0), keys)
     return U, hist

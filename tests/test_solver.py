@@ -15,6 +15,23 @@ from rbdtpu.solver import (
 )
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _no_persistent_cache():
+    """This module's big (vmapped) DDP executables sporadically SIGSEGV
+    XLA:CPU's executable (de)serializer in long many-compilation processes
+    (crash sites seen: compile, cache write, cache read — all on the same
+    test; see the conftest/CLAUDE.md note).  Keep them out of the persistent
+    compile cache; in-run in-memory caching is unaffected."""
+    from jax._src import compilation_cache as cc
+
+    old = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    cc.reset_cache()  # is_cache_used latches per-process; force a re-check
+    yield
+    jax.config.update("jax_compilation_cache_dir", old)
+    cc.reset_cache()
+
+
 def test_rollout_matches_manual(arm7, rng):
     H = 5
     dt = 0.01
@@ -110,6 +127,44 @@ def test_mppi_improves(arm7, rng):
     # accepted costs never regress
     h = np.asarray(hist)
     assert np.all(np.diff(h) <= 1e-9)
+
+
+def test_mppi_native_batch(arm7, rng):
+    """mppi_solve with leading problem dims: one key drives independent
+    noise for every problem, every problem's accepted cost is monotone
+    non-increasing, and the batched run beats each problem's nominal."""
+    from rbdtpu.solver import hybrid_solve
+
+    H, Bn = 10, 3
+    cfg = MPPIConfig(n_samples=128, sigma=0.5, dt=0.02, temperature=0.02)
+    cost = quadratic_tracking_cost(
+        arm7, pack_state(jnp.zeros(arm7.nq), jnp.zeros(arm7.nv)),
+        w_q=1.0, w_qd=0.5, w_u=1e-5,
+    )
+    # the braking task of test_mppi_improves, per-problem initial speeds
+    qd0 = 1.0 + 0.2 * jnp.array(rng.standard_normal((Bn, arm7.nv)))
+    x0 = jnp.concatenate([jnp.zeros((Bn, arm7.nq)), qd0], axis=-1)
+    U0 = jnp.zeros((Bn, H, arm7.nv))
+    U, hist = mppi_solve(arm7, cost, x0, U0, jax.random.PRNGKey(0),
+                         iters=10, config=cfg)
+    assert U.shape == (Bn, H, arm7.nv) and hist.shape == (10, Bn)
+    X0 = rollout(arm7, x0, U0, cfg.dt)
+    J0 = trajectory_cost(cost, X0, U0)
+    Xf = rollout(arm7, x0, U, cfg.dt)
+    Jf = trajectory_cost(cost, Xf, U)
+    assert np.all(np.asarray(Jf) < np.asarray(J0))
+    h = np.asarray(hist)
+    assert np.all(np.diff(h, axis=0) <= 1e-9)
+    # problems see DIFFERENT noise (not a broadcast of one sample stream)
+    assert not np.allclose(np.asarray(U[0]), np.asarray(U[1]))
+
+    # natively-batched hybrid: MPPI warm start then batched DDP
+    state, _ = hybrid_solve(
+        arm7, cost, x0, U0, jax.random.PRNGKey(1),
+        cfg, DDPConfig(iters=2, dt=0.02, n_alphas=4), mppi_iters=2,
+    )
+    assert state.J.shape == (Bn,)
+    assert np.all(np.isfinite(np.asarray(state.J)))
 
 
 def test_ddp_native_batch_matches_single(arm7, rng):
