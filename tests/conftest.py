@@ -8,8 +8,15 @@ without TPU hardware (SURVEY.md §4 item 4).
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# --xla_cpu_parallel_codegen_split_count=1: XLA:CPU's parallel LLVM codegen
+# races in long many-compilation processes (observed: SIGSEGV inside
+# backend_compile_and_load ~45 compilations into the suite, never in the
+# same test run alone); serial codegen removes the crash at a small
+# compile-time cost
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+    + " --xla_cpu_parallel_codegen_split_count=1"
 )
 
 import jax
