@@ -35,6 +35,18 @@ from rbdtpu.model import load_asset
 from rbdtpu.oracle import OracleRobotAdapter, load_reference_class
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _bound_executable_accumulation():
+    """XLA:CPU aborts/segfaults sporadically when a big compile happens with
+    hundreds of live JITed executables in the process (observed ~115 tests
+    into the suite, always at the first large DDP compile; never in a fresh
+    process).  Dropping jax's executable caches at module boundaries keeps
+    the live-executable count bounded; the persistent compile cache makes
+    the recompiles cheap disk loads."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def arm7():
     return load_asset("arm7", dtype=np.float64)
