@@ -21,6 +21,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -423,7 +424,7 @@ def feedback_fused_ok(model: RobotModel, batch_total: int) -> bool:
 
 def feedback_rollout_fused(model: RobotModel, x0, X_nom, U_nom, k_ff, K_fb,
                            dt: float, gravity: float = -9.81,
-                           interpret: bool | None = None):
+                           u_clip=None, interpret: bool | None = None):
     """Closed-loop line-search rollout with the FEEDBACK LAW fused into the
     dynamics kernel, scanning in packed lane layout.
 
@@ -443,6 +444,10 @@ def feedback_rollout_fused(model: RobotModel, x0, X_nom, U_nom, k_ff, K_fb,
     (solver.integrate.state_diff): the flat x - X_t for fixed-base and rpy
     roots (nx == 2*nv), and for the quaternion root the in-kernel manifold
     diff [quat_log_rel, R0^T dp, flat joint/velocity rows] (2*nv != nx).
+
+    u_clip: optional per-joint effort box — STATIC (the model's URDF
+    limits); folded into the kernel as lane-constant clamps on the applied
+    controls (Tassa-style clamped line search, matching forward_pass).
     """
     ms = get_static(model)
     nq, nv = ms.nq, ms.nv
@@ -468,6 +473,8 @@ def feedback_rollout_fused(model: RobotModel, x0, X_nom, U_nom, k_ff, K_fb,
         # and the root solve finite on the padding
         x0 = x0.at[B:, 3].set(1.0) if Bp != B else x0
         X_nom = X_nom.at[B:, :, 3].set(1.0) if Bp != B else X_nom
+    # static per-joint clamp constants, folded into the kernel at trace time
+    lims = None if u_clip is None else [float(v) for v in np.asarray(u_clip)]
     BT = Bp // 8
     allowed = feedback_lane_budget(nx, nv, ndx)
     L = _pick_lanes(Bp, min(512, allowed))
@@ -513,6 +520,8 @@ def feedback_rollout_fused(model: RobotModel, x0, X_nom, U_nom, k_ff, K_fb,
             acc = Ut_ref[i] + kt_ref[i]
             for j in range(ndx):
                 acc = acc + Kt_ref[i * ndx + j] * dx[j]
+            if lims is not None and np.isfinite(lims[i]):
+                acc = jnp.clip(acc, -lims[i], lims[i])
             u.append(acc)
         q_s, qd_s = x[:nq], x[nq:]
         qdd = aba_lane(ms, q_s, qd_s, u, gravity)

@@ -82,6 +82,11 @@ class DDPConfig:
     # reference C10) into the backward pass (Qxx/Qux gain Vx . Fxx terms).
     # Off = iLQR (Gauss-Newton), the usual default
     exact_hessians: bool = False
+    # fused feedback-rollout line search (kernels.feedback_rollout_fused):
+    # None = auto (on whenever ``fused`` and the packed K gain blocks fit
+    # VMEM — kernels.fused.feedback_fused_ok); False = force the jnp
+    # forward pass (used by equivalence tests)
+    fused_feedback: bool | None = None
     # box control limits from the model's URDF <limit effort> bounds
     # (model.u_limit_vector): clamp every applied control in the line-search
     # rollouts (and the initial rollout), so accepted trajectories are
@@ -319,11 +324,12 @@ def forward_pass(model: RobotModel, cost: Cost, X, U, k, K, alphas, dt,
 
 
 def forward_pass_fused(model: RobotModel, cost: Cost, X, U, k, K, alphas,
-                       dt, gravity):
+                       dt, gravity, u_clip=None):
     """forward_pass with the feedback law fused into the rollout kernel
     (kernels.feedback_rollout_fused): the whole alpha ladder x problem batch
     flattens into one packed lane batch, scanned with zero per-step layout
-    ops.  Same contract as forward_pass."""
+    ops.  Same contract as forward_pass (u_clip clamps inside the kernel
+    as static lane constants)."""
     from ..kernels.fused import feedback_rollout_fused
 
     n_alpha = alphas.shape[0]
@@ -335,7 +341,8 @@ def forward_pass_fused(model: RobotModel, cost: Cost, X, U, k, K, alphas,
     flat = lambda a: a.reshape((-1,) + a.shape[nb_lead:])
     X_b, U_b, K_b, k_b = flat(bx(X)), flat(bx(U)), flat(bx(K)), flat(k_eff)
     X_new, U_new = feedback_rollout_fused(
-        model, X_b[..., 0, :], X_b[..., :-1, :], U_b, k_b, K_b, dt, gravity
+        model, X_b[..., 0, :], X_b[..., :-1, :], U_b, k_b, K_b, dt, gravity,
+        u_clip=u_clip,
     )
     lead = (n_alpha,) + batch
     X_new = jnp.concatenate([X_b[..., 0:1, :], X_new], axis=-2)
@@ -398,14 +405,14 @@ def ddp_solve(
         use_parallel = False  # auto mode defers to the exact-Hessian sweep
     # fused feedback rollout: whole (alpha x batch) line search in packed
     # lane layout, feedback law (tangent-space, incl. the quat-root manifold
-    # diff) inside the dynamics kernel.  u_limits clamps inside the jnp
-    # pass; large-batch humanoid-size K gain blocks (nv*2nv rows) exceed
-    # VMEM -> jnp pass (kernels.fused.feedback_fused_ok)
+    # diff) and the static effort-box clamp inside the dynamics kernel.
+    # Large-batch humanoid-size K gain blocks (nv*2nv rows) exceed VMEM ->
+    # jnp pass (kernels.fused.feedback_fused_ok)
     from ..kernels.fused import feedback_fused_ok
 
     use_fused_fwd = (
         config.fused
-        and u_clip is None
+        and config.fused_feedback is not False
         and feedback_fused_ok(model, batch_flat * config.n_alphas)
     )
 
@@ -448,7 +455,8 @@ def ddp_solve(
             )
         if use_fused_fwd:
             Xs, Us, Js = forward_pass_fused(
-                model, cost, state.X, state.U, k, K, alphas, dt, gravity
+                model, cost, state.X, state.U, k, K, alphas, dt, gravity,
+                u_clip=u_clip,
             )
         else:
             Xs, Us, Js = forward_pass(

@@ -303,8 +303,8 @@ def test_fused_feedback_forward_pass_matches_jnp(arm7, rng):
     """The packed feedback-rollout kernel (feedback law fused into the
     dynamics step, zero per-step layout ops) produces EXACTLY the jnp
     forward pass: same accepted costs and controls after several DDP
-    iterations.  u_limits=True forces the jnp pass (limits are inf, so the
-    math is identical — only the forward-pass implementation differs)."""
+    iterations — both unconstrained and with the static effort-box clamp
+    (u_limits) folded into the kernel."""
     from rbdtpu.solver import DDPConfig, ddp_solve, ee_reaching_cost
     from rbdtpu.dynamics import rnea
 
@@ -317,10 +317,13 @@ def test_fused_feedback_forward_pass_matches_jnp(arm7, rng):
     U0 = jnp.broadcast_to(
         rnea(m, q0, zero, zero)[0][:, None, :], (Bm, H, m.nv)
     )
-    cfg = dict(iters=3, dt=0.01, n_alphas=4, fused=True)
-    s_f, _ = ddp_solve(m, cost, x0, U0, DDPConfig(**cfg))
-    s_j, _ = ddp_solve(m, cost, x0, U0, DDPConfig(**cfg, u_limits=True))
-    np.testing.assert_allclose(np.asarray(s_f.J), np.asarray(s_j.J),
-                               rtol=1e-9)
-    np.testing.assert_allclose(np.asarray(s_f.U), np.asarray(s_j.U),
-                               atol=1e-9)
+    for lim in (False, True):
+        cfg = dict(iters=3, dt=0.01, n_alphas=4, fused=True, u_limits=lim)
+        s_f, _ = ddp_solve(m, cost, x0, U0, DDPConfig(**cfg))
+        s_j, _ = ddp_solve(
+            m, cost, x0, U0, DDPConfig(**cfg, fused_feedback=False)
+        )
+        np.testing.assert_allclose(np.asarray(s_f.J), np.asarray(s_j.J),
+                                   rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(s_f.U), np.asarray(s_j.U),
+                                   atol=1e-9)
