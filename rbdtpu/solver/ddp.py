@@ -87,6 +87,10 @@ class DDPConfig:
     # VMEM — kernels.fused.feedback_fused_ok); False = force the jnp
     # forward pass (used by equivalence tests)
     fused_feedback: bool | None = None
+    # fused lane-scalar Riccati backward sweep (kernels.riccati): True =
+    # on (iLQR branch only, arm-class nx, batch fits — riccati_fused_ok);
+    # None/False = jnp sweep.  Opt-in until its TPU win is measured
+    fused_riccati: bool | None = None
     # box control limits from the model's URDF <limit effort> bounds
     # (model.u_limit_vector): clamp every applied control in the line-search
     # rollouts (and the initial rollout), so accepted trajectories are
@@ -415,6 +419,18 @@ def ddp_solve(
         and config.fused_feedback is not False
         and feedback_fused_ok(model, batch_flat * config.n_alphas)
     )
+    # fused Riccati backward sweep (opt-in; see DDPConfig.fused_riccati)
+    nx_dim = model.nq + model.nv if not model.root_quat else 2 * model.nv
+    if config.fused_riccati:
+        from ..kernels.riccati import riccati_fused_ok
+
+        use_fused_bwd = (
+            not config.exact_hessians
+            and not use_parallel
+            and riccati_fused_ok(nx_dim, model.nv, batch_flat)
+        )
+    else:
+        use_fused_bwd = False
 
     X0 = roll0(x0, U0)
     J0 = trajectory_cost(cost, X0, U0)
@@ -446,6 +462,12 @@ def ddp_solve(
             from .parallel_riccati import backward_pass_parallel
 
             k, K, dV1, ok = backward_pass_parallel(
+                A, B, lx, lu, lxx, luu, lux, lfx, lfxx, state.reg
+            )
+        elif use_fused_bwd:
+            from ..kernels.riccati import backward_pass_fused
+
+            k, K, dV1, ok = backward_pass_fused(
                 A, B, lx, lu, lxx, luu, lux, lfx, lfxx, state.reg
             )
         else:

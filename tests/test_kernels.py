@@ -261,6 +261,74 @@ def test_linearize_fused_quat_root(rng):
                                rtol=1e-6, atol=1e-8)
 
 
+def test_fused_riccati_backward_matches_jnp(rng):
+    """The lane-scalar Riccati kernel reproduces solver.ddp.backward_pass
+    exactly (gains, feedforwards, dV1, PD flag) for both per-knot and
+    CONSTANT cost quadratic blocks, with a batched regularizer."""
+    from rbdtpu.solver.ddp import backward_pass
+    from rbdtpu.kernels.riccati import backward_pass_fused
+
+    nx, nv, H, Bm = 6, 3, 5, 4
+    sym = lambda M: 0.5 * (M + np.swapaxes(M, -1, -2))
+
+    def rnd(*s):
+        return jnp.array(rng.standard_normal(s))
+
+    A = 0.1 * rnd(Bm, H, nx, nx) + jnp.eye(nx)
+    B = 0.1 * rnd(Bm, H, nx, nv)
+    lx = rnd(Bm, H, nx)
+    lu = rnd(Bm, H, nv)
+    lfx = rnd(Bm, nx)
+    lfxx = jnp.array(sym(np.eye(nx) + 0.1 * rng.standard_normal((Bm, nx, nx))))
+    lfxx = lfxx @ jnp.swapaxes(lfxx, -1, -2)  # PSD terminal
+    reg = jnp.array(rng.uniform(1e-6, 1e-2, Bm))
+    for timed in (False, True):
+        if timed:
+            lxx = jnp.array(sym(0.05 * rng.standard_normal((Bm, H, nx, nx))))
+            lxx = lxx + 2.0 * jnp.eye(nx)
+            luu = jnp.array(sym(0.05 * rng.standard_normal((Bm, H, nv, nv))))
+            luu = luu + 2.0 * jnp.eye(nv)
+            lux = 0.05 * rnd(Bm, H, nv, nx)
+        else:
+            lxx = 2.0 * jnp.eye(nx)
+            luu = 2.0 * jnp.eye(nv)
+            lux = jnp.zeros((nv, nx))
+        args = (A, B, lx, lu, lxx, luu, lux, lfx, lfxx, reg)
+        k_j, K_j, dV_j, ok_j = backward_pass(*args)
+        k_f, K_f, dV_f, ok_f = backward_pass_fused(*args)
+        np.testing.assert_allclose(np.asarray(k_f), np.asarray(k_j),
+                                   rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(K_f), np.asarray(K_j),
+                                   rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(dV_f), np.asarray(dV_j),
+                                   rtol=1e-9)
+        assert np.array_equal(np.asarray(ok_f), np.asarray(ok_j))
+
+
+def test_fused_riccati_in_ddp_solve(arm7, rng):
+    """DDPConfig(fused_riccati=True) end-to-end equals the jnp sweep."""
+    from rbdtpu.solver import DDPConfig, ddp_solve, ee_reaching_cost
+    from rbdtpu.dynamics import rnea
+
+    m = arm7
+    cost = ee_reaching_cost(m, jnp.array([0.3, 0.2, 0.6]))
+    Bm, H = 8, 6
+    q0 = jnp.array(rng.uniform(-0.3, 0.3, (Bm, m.nq)))
+    x0 = jnp.concatenate([q0, jnp.zeros((Bm, m.nv))], -1)
+    zero = jnp.zeros((Bm, m.nv))
+    U0 = jnp.broadcast_to(
+        rnea(m, q0, zero, zero)[0][:, None, :], (Bm, H, m.nv)
+    )
+    cfg = dict(iters=3, dt=0.01, n_alphas=4, fused=True)
+    s_f, _ = ddp_solve(m, cost, x0, U0,
+                       DDPConfig(**cfg, fused_riccati=True))
+    s_j, _ = ddp_solve(m, cost, x0, U0, DDPConfig(**cfg))
+    np.testing.assert_allclose(np.asarray(s_f.J), np.asarray(s_j.J),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(s_f.U), np.asarray(s_j.U),
+                               atol=1e-8)
+
+
 def test_fused_feedback_forward_pass_quat_root(quadruped12quat, rng):
     """feedback_rollout_fused on a QUATERNION-root model: the in-kernel
     manifold state diff (quat_log_rel + R0^T dp) must reproduce the jnp
