@@ -6,10 +6,15 @@ Run (TPU):   python examples/mpc_reaching.py          (one process at a time)
 Shows the full stack: URDF model -> batched dynamics -> analytic-gradient DDP
 with gravity-compensation warm start -> closed-loop receding-horizon MPC.
 """
+import os
+import sys
+
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from rbdtpu.model import load_asset
 from rbdtpu.dynamics import rnea

@@ -1,0 +1,144 @@
+"""Phase-level DDP/MPC profiler: amortized per-phase latency on the current
+backend (designed for the TPU tunnel: many repetitions inside ONE jit call,
+min over calls — single-call timings through the tunnel are noise, see
+CLAUDE.md).
+
+Phases timed independently on realistic data (a rolled-out nominal
+trajectory of the requested config):
+  linearize   solver.rollout.linearize_trajectory (fused colvec when fused)
+  quadratize  solver.costs.quadratize_trajectory
+  backward    solver.ddp.backward_pass (jnp scan)
+  backward_f  kernels.riccati.backward_pass_fused (when it applies)
+  forward     solver.ddp.forward_pass (jnp scan)
+  forward_f   solver.ddp.forward_pass_fused (when it applies)
+  full_iter   one whole ddp iteration via ddp_solve(iters=1)
+
+Usage:  python tools/profile_mpc.py [arm7|quadruped12|humanoid30] [B] [H]
+"""
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+
+sys.path.insert(0, ".")
+
+from rbdtpu.model import load_asset  # noqa: E402
+from rbdtpu.dynamics import rnea  # noqa: E402
+from rbdtpu.solver import (  # noqa: E402
+    DDPConfig, ddp_solve, ee_reaching_cost, quadratic_tracking_cost,
+)
+from rbdtpu.solver.ddp import (  # noqa: E402
+    backward_pass, forward_pass, forward_pass_fused, _make_step,
+    _make_linearize,
+)
+from rbdtpu.solver.costs import quadratize_trajectory  # noqa: E402
+from rbdtpu.solver.rollout import rollout  # noqa: E402
+
+
+def timed(name, fn, *args, reps=20, calls=4):
+    """Amortize `reps` executions inside one jit; min over `calls` calls."""
+
+    def body(_, __):
+        out = fn(*args)
+        return _, jax.tree.map(
+            lambda a: a.reshape(-1)[0].astype(jnp.float32), out
+        )
+
+    f = jax.jit(
+        lambda: jax.lax.scan(body, 0, None, length=reps)[1]
+    )
+    t0 = time.perf_counter()
+    jax.block_until_ready(f())
+    compile_s = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(calls):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f())
+        best = min(best, time.perf_counter() - t0)
+    per = best / reps
+    print(f"{name:12s} {per * 1e3:8.3f} ms/exec   (compile {compile_s:.1f}s)")
+    return per
+
+
+def main():
+    name = sys.argv[1] if len(sys.argv) > 1 else "arm7"
+    fb = name != "arm7"
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else (128 if name == "arm7"
+                                                    else 1024)
+    H = int(sys.argv[3]) if len(sys.argv) > 3 else (100 if name == "arm7"
+                                                    else 50)
+    model = load_asset(name, dtype=np.float32, floating_base=fb)
+    print(f"model={name} nx={model.nq + model.nv} nv={model.nv} B={B} H={H} "
+          f"devices={jax.devices()}")
+    if name == "arm7":
+        cost = ee_reaching_cost(
+            model, jnp.array([0.3, 0.2, 0.8], jnp.float32),
+            w_ee=10.0, w_ee_f=2000.0, w_u=1e-6, w_qd=1e-3, w_qd_f=0.1,
+        )
+    else:
+        goal = jnp.zeros(model.nq + model.nv, jnp.float32)
+        cost = quadratic_tracking_cost(model, goal, w_q=2.0, w_qd=0.05,
+                                       w_u=1e-5)
+    cfg = DDPConfig(iters=1, dt=0.01, n_alphas=8, fused=True)
+    key = jax.random.PRNGKey(0)
+    q0 = 0.2 * jax.random.normal(key, (B, model.nq), jnp.float32)
+    if fb:
+        q0 = q0.at[:, 2].add(0.35)
+    x0 = jnp.concatenate([q0, jnp.zeros((B, model.nv), jnp.float32)], -1)
+    zero = jnp.zeros((B, model.nv), jnp.float32)
+    u_hold = rnea(model, q0, zero, zero)[0]
+    U = jnp.broadcast_to(u_hold[:, None, :], (B, H, model.nv))
+
+    X = jax.jit(
+        lambda x, u: rollout(model, x, u, cfg.dt, fused=True)
+    )(x0, U)
+    jax.block_until_ready(X)
+
+    lin = jax.jit(_make_linearize(model, cfg))  # fused colvec when fused
+    A, Bm = lin(X, U)
+    jax.block_until_ready((A, Bm))
+    quads = quadratize_trajectory(cost, X, U)
+    lx, lu, lxx, luu, lux, lfx, lfxx = quads
+    reg = jnp.full((B,), 1e-6, jnp.float32)
+    k, K, dV1, ok = backward_pass(A, Bm, lx, lu, lxx, luu, lux, lfx, lfxx,
+                                  reg)
+    jax.block_until_ready((k, K))
+    alphas = 2.0 ** -jnp.arange(cfg.n_alphas, dtype=jnp.float32)
+    step_fn = _make_step(model, cfg)
+
+    timed("linearize", lambda: lin(X, U))
+    timed("quadratize", lambda: quadratize_trajectory(cost, X, U))
+    timed("backward", lambda: backward_pass(
+        A, Bm, lx, lu, lxx, luu, lux, lfx, lfxx, reg))
+    try:
+        from rbdtpu.kernels.riccati import (
+            backward_pass_fused, riccati_fused_ok,
+        )
+
+        if riccati_fused_ok(model.nq + model.nv, model.nv, B):
+            timed("backward_f", lambda: backward_pass_fused(
+                A, Bm, lx, lu, lxx, luu, lux, lfx, lfxx, reg))
+        else:
+            print("backward_f   (not applicable at this config)")
+    except Exception as e:  # surface compile failures, keep profiling
+        print(f"backward_f   FAILED: {type(e).__name__}: {e}")
+    timed("forward", lambda: forward_pass(
+        model, cost, X, U, k, K, alphas, cfg.dt, cfg.gravity, step_fn))
+    from rbdtpu.kernels.fused import feedback_fused_ok
+
+    if feedback_fused_ok(model, B * cfg.n_alphas):
+        timed("forward_f", lambda: forward_pass_fused(
+            model, cost, X, U, k, K, alphas, cfg.dt, cfg.gravity))
+    else:
+        print("forward_f    (not applicable at this config)")
+    timed("full_iter", lambda: ddp_solve(model, cost, x0, U, cfg)[0].J,
+          reps=5)
+
+
+if __name__ == "__main__":
+    main()
