@@ -167,6 +167,31 @@ def test_mppi_native_batch(arm7, rng):
     assert np.all(np.isfinite(np.asarray(state.J)))
 
 
+def test_hybrid_native_batch_floating_base(quadruped12fb, rng):
+    """Natively-batched hybrid on a floating-base model with fused kernels:
+    problems x samples flatten through the fused rollout, the DDP stage
+    takes the fused feedback line search, and costs stay finite."""
+    from rbdtpu.solver import hybrid_solve
+
+    m = quadruped12fb
+    Bn, H = 2, 4
+    nx = m.nq + m.nv
+    q0 = jnp.zeros((Bn, m.nq)).at[:, 2].set(0.35)
+    q0 = q0 + 0.02 * jnp.array(rng.standard_normal((Bn, m.nq)))
+    x0 = jnp.concatenate([q0, jnp.zeros((Bn, m.nv))], -1)
+    goal = jnp.zeros(nx).at[2].set(0.4)
+    cost = quadratic_tracking_cost(m, goal, w_q=2.0, w_qd=0.05, w_u=1e-5)
+    U0 = jnp.zeros((Bn, H, m.nv))
+    state, _ = hybrid_solve(
+        m, cost, x0, U0, jax.random.PRNGKey(2),
+        MPPIConfig(n_samples=8, sigma=0.3, dt=0.01, fused=True),
+        DDPConfig(iters=2, dt=0.01, n_alphas=4, fused=True),
+        mppi_iters=2,
+    )
+    assert state.J.shape == (Bn,)
+    assert np.all(np.isfinite(np.asarray(state.J)))
+
+
 def test_ddp_native_batch_matches_single(arm7, rng):
     """Explicit leading batch dims solve the same problems as one-at-a-time."""
     H, Bn = 6, 3
