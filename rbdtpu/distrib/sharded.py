@@ -45,9 +45,10 @@ def sharded_ddp_solve(mesh: Mesh, model: RobotModel, cost: Cost, x0_batch,
     Riccati stays chip-local by design: problems are independent).
     """
     def local(x0_s, U0_s):
-        states, _ = jax.vmap(lambda x, U: ddp_solve(model, cost, x, U, config))(
-            x0_s, U0_s
-        )
+        # natively-batched solve over the local shard (NOT vmap-of-problems:
+        # the native batch is what lets the fused Pallas kernels engage
+        # per device — CLAUDE.md performance rules)
+        states, _ = ddp_solve(model, cost, x0_s, U0_s, config)
         local_sum = jnp.sum(states.J)
         total = jax.lax.psum(local_sum, axis)
         n = jax.lax.psum(jnp.asarray(states.J.shape[0], x0_s.dtype), axis)
