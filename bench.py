@@ -458,7 +458,11 @@ def bench_sharded():
         model, jnp.array([0.3, 0.2, 0.8], jnp.float32),
         w_ee=10.0, w_ee_f=2000.0, w_u=1e-6, w_qd=1e-3, w_qd_f=0.1,
     )
-    cfg = DDPConfig(iters=iters, dt=0.01, n_alphas=4)
+    # fused kernels engage per shard on hardware (native-batch shards);
+    # the CPU virtual mesh keeps the jnp path — interpret-mode Pallas under
+    # an 8-way shard_map is validation-speed only
+    cfg = DDPConfig(iters=iters, dt=0.01, n_alphas=4,
+                    fused=jax.devices()[0].platform != "cpu")
 
     def solves_per_s(n):
         mesh = make_mesh(n)
