@@ -50,6 +50,26 @@ def test_sharded_ddp_matches_local(arm7, mesh, rng):
     )
 
 
+def test_sharded_ddp_fused_kernels_match_local(arm7, mesh, rng):
+    """Fused Pallas kernels under shard_map (the hardware sharded-bench
+    config): each device's natively-batched shard drives the fused step /
+    colvec linearize / feedback line-search kernels, and the sharded result
+    still equals the local natively-batched solve."""
+    B, H = 16, 5  # 2 problems/shard x 4 alphas = 8 -> feedback kernel on
+    cfg = DDPConfig(iters=2, dt=0.02, n_alphas=4, fused=True)
+    cost = quadratic_tracking_cost(
+        arm7, pack_state(jnp.full(arm7.nq, 0.2), jnp.zeros(arm7.nv))
+    )
+    x0 = jnp.array(rng.uniform(-0.2, 0.2, (B, arm7.nq + arm7.nv)))
+    U0 = jnp.zeros((B, H, arm7.nv))
+    J_sh, U_sh, _ = sharded_ddp_solve(mesh, arm7, cost, x0, U0, cfg)
+    state_loc, _ = ddp_solve(arm7, cost, x0, U0, cfg)
+    np.testing.assert_allclose(np.asarray(J_sh), np.asarray(state_loc.J),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(U_sh), np.asarray(state_loc.U),
+                               atol=1e-9)
+
+
 def test_sharded_mppi_runs_and_is_finite(arm7, mesh, rng):
     """Population-sharded MPPI: U stays replicated-consistent and finite.
     (Exact equality with the single-device path is not expected — the sharded
