@@ -107,7 +107,7 @@ def backward_pass_fused(A, B, lx, lu, lxx, luu, lux, lfx, lfxx, reg,
     Bp = _pad_batch(Bn)
     dt_ = A.dtype
 
-    def flat(a, tail):
+    def flat(a):
         a = jnp.broadcast_to(a, batch + a.shape[len(batch):])
         a = a.reshape((Bn,) + a.shape[len(batch):])
         if Bp != Bn:
@@ -136,17 +136,17 @@ def backward_pass_fused(A, B, lx, lu, lxx, luu, lux, lfx, lfxx, reg,
                 jnp.broadcast_to(arr.reshape(1, rows), (Bp, rows)), rows
             )
         else:
-            timed[name] = packH(flat(arr, None), rows)
+            timed[name] = packH(flat(arr), rows)
     tnames = sorted(timed)
     cnames = sorted(const)
 
-    A_p = packH(flat(A, None), nx * nx)
-    B_p = packH(flat(B, None), nx * nv)
-    lx_p = packH(flat(lx, None), nx)
-    lu_p = packH(flat(lu, None), nv)
-    reg_p = pack0(flat(jnp.broadcast_to(reg, batch)[..., None], None), 1)
+    A_p = packH(flat(A), nx * nx)
+    B_p = packH(flat(B), nx * nv)
+    lx_p = packH(flat(lx), nx)
+    lu_p = packH(flat(lu), nv)
+    reg_p = pack0(flat(jnp.broadcast_to(reg, batch)[..., None]), 1)
     carry0 = jnp.concatenate(
-        [pack0(flat(lfx, None), nx), pack0(flat(lfxx, None), nx * nx)],
+        [pack0(flat(lfx), nx), pack0(flat(lfxx), nx * nx)],
         axis=0,
     )
 
