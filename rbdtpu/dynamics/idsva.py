@@ -37,7 +37,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..model.robot import RobotModel
-from ..spatial.ops import crm, crf, icrf, cross_motion, cross_force
+from ..spatial.ops import (
+    crm, crf, icrf, cross_motion, cross_force, factor_inertia, dot_inertia,
+)
 from ..spatial.batched import mm, mtm, mv
 from .crba import crba
 from .fd import forward_dynamics_full
@@ -85,7 +87,9 @@ def _world_pass(model: RobotModel, q, qd, qdd, gravity: float):
         Sd[i] = cross_motion(v[i], S0[i])
         IC[i] = mtm(Xup[i], mm(jnp.broadcast_to(model.I[i], Xup[i].shape), Xup[i]))
         ICv = mv(IC[i], v[i])
-        BC[i] = mm(crf(v[i]), IC[i]) + icrf(ICv) - mm(IC[i], crm(v[i]))
+        # BC = crf(v) I + icrf(Iv) - I crm(v) = 2 * factor_inertia(I, v)
+        # (reference factor_functions number=3, RBDReference.py:45-54)
+        BC[i] = 2.0 * factor_inertia(IC[i], v[i])
         f[i] = mv(IC[i], a[i]) + cross_force(v[i], ICv)
 
     stack = lambda xs: jnp.stack(xs, axis=-2)
@@ -125,10 +129,11 @@ def idsva_so_native(model: RobotModel, q, qd, qdd, gravity: float = -9.81):
     T4 = jnp.einsum("...iab,...ib->...ia", BC, S) + jnp.einsum(
         "...iab,...ib->...ia", IC, psid + Sd
     )
-    Bfac = lambda M, x: mm(crf(x), M) + icrf(
-        jnp.einsum("...iab,...ib->...ia", M, x)
-    ) - mm(M, crm(x))
-    dotf = lambda M, x: mm(crf(x), M) - mm(M, crm(x))
+    # Bfac = 2 * factor_inertia (reference factor_functions, :45-54); dotf =
+    # dot_inertia (reference dot_matrix, :27-31).  Both operate per body on
+    # the stacked (..., n, 6, 6) / (..., n, 6) layout via batched broadcasting
+    Bfac = lambda M, x: 2.0 * factor_inertia(M, x)
+    dotf = dot_inertia
     D1 = dotf(IC, S)
     D2 = Bfac(IC, psid) + dotf(BC, S)
     D3 = Bfac(IC, S)

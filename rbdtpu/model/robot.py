@@ -184,6 +184,27 @@ class RobotModel:
             out = out.at[self.v_index(i)].set(self.effort_limit[i])
         return out
 
+    def qd_limit_vector(self) -> jax.Array:
+        """Per-VELOCITY-coordinate |qd| bound (nv,) from URDF
+        ``<limit velocity>`` (the reference discards ``<limit>`` entirely).
+        Consumed by costs.add_limit_barrier."""
+        out = jnp.full((self.nv,), jnp.inf, self.velocity_limit.dtype)
+        for i in range(self.nb):
+            out = out.at[self.v_index(i)].set(self.velocity_limit[i])
+        return out
+
+    def q_limit_vectors(self) -> tuple:
+        """Per-CONFIGURATION-coordinate position bounds (lo (nq,), hi (nq,))
+        from URDF ``<limit lower/upper>``.  Floating-base root coordinates are
+        unbounded (+-inf).  Consumed by costs.add_limit_barrier."""
+        lo = jnp.full((self.nq,), -jnp.inf, self.q_lower.dtype)
+        hi = jnp.full((self.nq,), jnp.inf, self.q_upper.dtype)
+        start = 1 if self.floating_base else 0
+        for i in range(start, self.nb):
+            lo = lo.at[self.q_index(i)].set(self.q_lower[i])
+            hi = hi.at[self.q_index(i)].set(self.q_upper[i])
+        return lo, hi
+
 
 def make_model(
     *,

@@ -7,6 +7,7 @@ from .costs import (
     Cost,
     quadratic_tracking_cost,
     ee_reaching_cost,
+    add_limit_barrier,
     trajectory_cost,
     quadratize_trajectory,
 )
@@ -21,7 +22,7 @@ __all__ = [
     "pack_state", "split_state", "euler_semi_implicit", "step_jacobians",
     "rollout", "linearize_trajectory",
     "Cost", "quadratic_tracking_cost", "ee_reaching_cost",
-    "trajectory_cost", "quadratize_trajectory",
+    "add_limit_barrier", "trajectory_cost", "quadratize_trajectory",
     "DDPConfig", "DDPState", "ddp_solve", "backward_pass", "forward_pass",
     "MPPIConfig", "mppi_step", "mppi_solve",
 ]

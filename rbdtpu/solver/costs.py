@@ -202,6 +202,102 @@ def ee_reaching_cost(
     return Cost(stage, terminal, stage_derivs, terminal_derivs)
 
 
+def add_limit_barrier(
+    model: RobotModel, cost: Cost, *, w_q=100.0, w_qd=10.0,
+) -> Cost:
+    """Wrap ``cost`` with quadratic-hinge penalties on the model's URDF
+    position and velocity limits (``q_lower``/``q_upper``/``velocity_limit``
+    — limits the reference discards at parse time):
+
+        0.5 w_q  sum relu(q - q_hi)^2 + relu(q_lo - q)^2
+      + 0.5 w_qd sum relu(|qd| - qd_lim)^2
+
+    Exact analytic derivatives (piecewise; the hinge Hessian is the active-set
+    indicator diagonal), composed onto the base cost's quadratization so DDP
+    and MPPI both consume the limits.  Unbounded coordinates (continuous
+    joints, the floating-base root) contribute exactly zero.
+
+    Quaternion-root models: penalties are expressed in the solver's TANGENT
+    coordinates — joint positions retract additively, so the q hinge lands on
+    tangent rows v_index(i) with unit Jacobian; root rows are unbounded.
+    """
+    nq, nv = model.nq, model.nv
+    quat_root = model.floating_base and model.root_quat
+    ndim = 2 * nv if quat_root else nq + nv
+    q_lo, q_hi = model.q_limit_vectors()
+    qd_lim = model.qd_limit_vector()
+    # finite-limit masks as float weights: rows with inf limits produce
+    # hinge 0 with 0 gradient (avoid inf - inf under jit by masking)
+    q_lo_f = jnp.isfinite(q_lo)
+    q_hi_f = jnp.isfinite(q_hi)
+    qd_f = jnp.isfinite(qd_lim)
+    q_lo_s = jnp.where(q_lo_f, q_lo, 0.0)
+    q_hi_s = jnp.where(q_hi_f, q_hi, 0.0)
+    qd_s = jnp.where(qd_f, qd_lim, 0.0)
+
+    def _hinges(x):
+        q, qd = x[..., :nq], x[..., nq:]
+        h_hi = jnp.where(q_hi_f, jnp.maximum(q - q_hi_s, 0.0), 0.0)
+        h_lo = jnp.where(q_lo_f, jnp.maximum(q_lo_s - q, 0.0), 0.0)
+        h_qd = jnp.where(qd_f, jnp.maximum(jnp.abs(qd) - qd_s, 0.0), 0.0)
+        return h_hi, h_lo, h_qd, qd
+
+    def _penalty(x):
+        h_hi, h_lo, h_qd, _ = _hinges(x)
+        return 0.5 * (
+            w_q * ((h_hi * h_hi).sum(-1) + (h_lo * h_lo).sum(-1))
+            + w_qd * (h_qd * h_qd).sum(-1)
+        )
+
+    def _grad_diag(x):
+        """(lx_pen (..., ndim), diag_pen (..., ndim)) in solver coordinates."""
+        h_hi, h_lo, h_qd, qd = _hinges(x)
+        g_q = w_q * (h_hi - h_lo)                       # d/dq
+        d_q = w_q * ((h_hi > 0) | (h_lo > 0)).astype(x.dtype)
+        g_qd = w_qd * h_qd * jnp.sign(qd)               # d/dqd
+        d_qd = w_qd * (h_qd > 0).astype(x.dtype)
+        if quat_root:
+            # tangent layout [root twist (6) | joints (nv-6) | qd (nv)]:
+            # joint q rows map 1:1 onto tangent rows 6..nv-1 (additive
+            # retraction); root pose rows are unbounded by construction
+            zroot = jnp.zeros(x.shape[:-1] + (6,), x.dtype)
+            g = jnp.concatenate([zroot, g_q[..., 7:], g_qd], axis=-1)
+            d = jnp.concatenate([zroot, d_q[..., 7:], d_qd], axis=-1)
+            return g, d
+        return (jnp.concatenate([g_q, g_qd], axis=-1),
+                jnp.concatenate([d_q, d_qd], axis=-1))
+
+    def stage(x, u, t):
+        return cost.stage(x, u, t) + _penalty(x)
+
+    def terminal(x):
+        return cost.terminal(x) + _penalty(x)
+
+    if cost.stage_derivs is None or cost.terminal_derivs is None:
+        # base cost quadratizes by AD; the wrapped stage/terminal are
+        # AD-differentiable (hinges are piecewise smooth), so let the solver's
+        # AD fallback handle everything
+        return Cost(stage, terminal, None, None)
+
+    def _addx(lx, lxx, x):
+        g, d = _grad_diag(x)
+        batch_t = x.shape[:-1] + (ndim, ndim)
+        lxx_b = jnp.broadcast_to(lxx, batch_t) if lxx.ndim == 2 else lxx
+        eye = jnp.eye(ndim, dtype=x.dtype)
+        return lx + g, lxx_b + d[..., None] * eye
+
+    def stage_derivs(x, u, t):
+        lx, lu, lxx, luu, lux = cost.stage_derivs(x, u, t)
+        lx, lxx = _addx(lx, lxx, x)
+        return lx, lu, lxx, luu, lux
+
+    def terminal_derivs(x):
+        lfx, lfxx = cost.terminal_derivs(x)
+        return _addx(lfx, lfxx, x)
+
+    return Cost(stage, terminal, stage_derivs, terminal_derivs)
+
+
 def trajectory_cost(cost: Cost, X, U):
     """Total cost: X (..., H+1, nx), U (..., H, nv) -> (...).  Batch-closed."""
     H = U.shape[-2]

@@ -130,3 +130,22 @@ def test_ee_pose_hessian_parity(arm7, oracle, rng):
     h_ref = h_ref.reshape(h.shape)
     np.testing.assert_allclose(h[..., :3, :, :], h_ref[..., :3, :, :], atol=TOL)
     np.testing.assert_allclose(h[..., 3:, :, :], h_ref[..., 3:, :, :], atol=1e-4)
+
+
+def test_spatial_factor_helpers_parity(oracle, rng):
+    """spatial.factor_inertia / dot_inertia vs the reference's
+    factor_functions(number=3) / dot_matrix (RBDReference.py:27-31,45-54;
+    these feed the IDSVA-SO sweep, where dynamics.idsva consumes them)."""
+    from rbdtpu.spatial import factor_inertia, dot_inertia
+
+    A = rng.standard_normal((6, 6))
+    I = A @ A.T + 6 * np.eye(6)  # SPD like a spatial inertia
+    v = rng.standard_normal(6)
+    B_ref = np.asarray(oracle.factor_functions(I, v, number=3))
+    D_ref = np.asarray(oracle.dot_matrix(I, v))
+    np.testing.assert_allclose(
+        np.asarray(factor_inertia(jnp.array(I), jnp.array(v))), B_ref, atol=TOL
+    )
+    np.testing.assert_allclose(
+        np.asarray(dot_inertia(jnp.array(I), jnp.array(v))), D_ref, atol=TOL
+    )
