@@ -270,6 +270,22 @@ def _pick_lanes(Bp_hint: int, nb: int, n: int, C: int,
     return 128
 
 
+def linearize_fused_ok(model: RobotModel, flat_batch: int,
+                       dtype=jnp.float32) -> bool:
+    """COMPILE PROBE for the fused linearization at this batch size (see
+    kernels.probe): False means the solver should keep the jnp
+    linearize_trajectory path instead of risking a Mosaic-side crash."""
+    from .probe import probe_ok
+
+    n, nq = model.nv, model.nq
+    sds = lambda *s: jax.ShapeDtypeStruct(s, jnp.dtype(dtype))
+    fn = lambda q_, qd_, u_: linearize_parts_fused(model, q_, qd_, u_)
+    args = (sds(flat_batch, nq), sds(flat_batch, n), sds(flat_batch, n))
+    key = (model.parent, model.joint_type, model.floating_base,
+           model.root_quat, flat_batch, jnp.dtype(dtype).name)
+    return probe_ok("colvec_linearize", key, fn, args, on_tpu=_on_tpu())
+
+
 def linearize_parts_fused(model: RobotModel, q, qd, u,
                           gravity: float = -9.81,
                           block_lanes: int | None = None,

@@ -410,16 +410,38 @@ def feedback_lane_budget(nx: int, nv: int, ndx: int) -> int:
     return (6 * 1024 * 1024) // per_lane
 
 
-def feedback_fused_ok(model: RobotModel, batch_total: int) -> bool:
+def feedback_fused_ok(model: RobotModel, batch_total: int,
+                      dtype=jnp.float32) -> bool:
     """True when feedback_rollout_fused can run batch_total trajectories
     (the solver's alpha-ladder x problem batch) without blowing scoped VMEM
-    or degenerating to sub-128-lane blocks at large batch."""
+    or degenerating to sub-128-lane blocks at large batch.
+
+    Two gates: the static VMEM budget model, then (on TPU) a COMPILE PROBE of
+    the exact kernel layout — the budget model approving a config is not
+    proof Mosaic accepts it (kernels.probe), so the probe is authoritative:
+    a config that fails to compile degrades to the jnp forward pass instead
+    of crashing the solve."""
     if batch_total % 8 != 0:
         return False
     nv = int(model.nv)
     nx = int(model.nq) + nv
     BT = _pad_batch(batch_total) // 8
-    return feedback_lane_budget(nx, nv, 2 * nv) >= min(BT, 128)
+    if feedback_lane_budget(nx, nv, 2 * nv) < min(BT, 128):
+        return False
+    from .probe import probe_ok
+
+    ndx = 2 * nv
+    Bp = _pad_batch(batch_total)
+    sds = lambda *s: jax.ShapeDtypeStruct(s, dtype)
+    fn = lambda x0, Xn, Un, kf, Kf: feedback_rollout_fused(
+        model, x0, Xn, Un, kf, Kf, 0.01
+    )
+    args = (sds(batch_total, nx), sds(batch_total, 1, nx),
+            sds(batch_total, 1, nv), sds(batch_total, 1, nv),
+            sds(batch_total, 1, nv, ndx))
+    key = (model.parent, model.joint_type, model.floating_base,
+           model.root_quat, Bp, jnp.dtype(dtype).name)
+    return probe_ok("feedback_rollout", key, fn, args, on_tpu=_on_tpu())
 
 
 def feedback_rollout_fused(model: RobotModel, x0, X_nom, U_nom, k_ff, K_fb,

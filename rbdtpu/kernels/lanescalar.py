@@ -315,6 +315,25 @@ def quat_step(qw, qx, qy, qz, wx, wy, wz, dt):
     return inv * nw, inv * nx, inv * ny, inv * nz
 
 
+def _atan2_pos(n, w):
+    """atan2(n, w) for n >= 0, w >= 0 (first quadrant) WITHOUT the atan2/atan
+    primitives — Mosaic's Pallas TPU lowering implements neither (the round-2
+    humanoid-quat bench crashed on exactly this).  Exact identities:
+    atan2(n, w) = 2 atan(t), t = n/(w + hypot(w, n)) in [0, 1]; then three
+    cotangent half-angle reductions t <- t/(1 + sqrt(1 + t^2)) bring the
+    argument under tan(pi/32) ~= 0.0985, where the degree-13 odd Taylor
+    polynomial of atan is accurate to ~1e-16 relative — full f64 precision
+    (the interpret-mode tests run f64), and trivially full f32 on TPU."""
+    t = n / (w + jnp.sqrt(w * w + n * n))
+    for _ in range(3):
+        t = t / (1.0 + jnp.sqrt(1.0 + t * t))
+    z = t * t
+    p = 1.0 / 13.0
+    for c in (11.0, 9.0, 7.0, 5.0, 3.0):
+        p = 1.0 / c - z * p
+    return 16.0 * t * (1.0 - z * p)
+
+
 def quat_log_rel(q0, q1):
     """Rotation-vector log of conj(q0) (x) q1 on lane-scalars — the lane twin
     of spatial.quat: quat_log(quat_mul(quat_conj(q0), q1)), including the
@@ -334,7 +353,7 @@ def quat_log_rel(q0, q1):
     w = jnp.clip(rw, -1.0, 1.0)
     n2 = rx * rx + ry * ry + rz * rz
     n = jnp.sqrt(jnp.maximum(n2, 1e-12))
-    angle = 2.0 * jnp.arctan2(n, w)
+    angle = 2.0 * _atan2_pos(n, w)  # w >= 0 after the sign fix above
     small = n2 < 1e-12
     scale = jnp.where(small, 2.0 / jnp.maximum(w, 0.5), angle / n)
     return scale * rx, scale * ry, scale * rz

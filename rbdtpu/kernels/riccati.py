@@ -39,16 +39,31 @@ def _rows_total(nx: int, nv: int, n_cost_rows: int) -> int:
     )
 
 
-def riccati_fused_ok(nx: int, nv: int, batch_total: int) -> bool:
+def riccati_fused_ok(nx: int, nv: int, batch_total: int,
+                     dtype=jnp.float32) -> bool:
     """True when the fused sweep applies: batch packs into whole sublane
     tiles, the state dim is in the kernel's compile-friendly regime, and a
-    128-lane block fits the VMEM budget (smaller batches always fit)."""
+    128-lane block fits the VMEM budget (smaller batches always fit).
+    On TPU a COMPILE PROBE of the exact layout (worst case: all cost blocks
+    per-knot) is authoritative — see kernels.probe."""
     if batch_total % 8 != 0 or nx > 16:
         return False
     n_cost = nx * nx + nv * nv + nv * nx
     BT = _pad_batch(batch_total) // 8
     lanes = _BUDGET // (_rows_total(nx, nv, n_cost) * 8 * 4)
-    return lanes >= min(BT, 128)
+    if lanes < min(BT, 128):
+        return False
+    from .probe import probe_ok
+
+    B = batch_total
+    sds = lambda *s: jax.ShapeDtypeStruct(s, jnp.dtype(dtype))
+    fn = lambda A, Bm, lx, lu, lxx, luu, lux, lfx, lfxx, reg: \
+        backward_pass_fused(A, Bm, lx, lu, lxx, luu, lux, lfx, lfxx, reg)
+    args = (sds(B, 1, nx, nx), sds(B, 1, nx, nv), sds(B, 1, nx),
+            sds(B, 1, nv), sds(B, 1, nx, nx), sds(B, 1, nv, nv),
+            sds(B, 1, nv, nx), sds(B, nx), sds(B, nx, nx), sds(B))
+    key = (nx, nv, _pad_batch(B), jnp.dtype(dtype).name)
+    return probe_ok("riccati_backward", key, fn, args, on_tpu=_on_tpu())
 
 
 def _ld_mat(ref, r0: int, n: int, m: int):

@@ -149,7 +149,7 @@ def _make_linearize(model, config):
         else config.fused
     )
     if use_fused_lin:
-        from ..kernels.colvec import linearize_fused
+        from ..kernels.colvec import linearize_fused, linearize_fused_ok
 
         def lin(X, U):
             q, qd = split_state(model, X[..., :-1, :])
@@ -157,7 +157,9 @@ def _make_linearize(model, config):
             flat = 1
             for b in lead:
                 flat *= b
-            if flat % 8 == 0:
+            # compile-probe gate (kernels.probe): a Mosaic-side failure at
+            # this batch size degrades to the jnp path instead of crashing
+            if flat % 8 == 0 and linearize_fused_ok(model, flat, X.dtype):
                 A, B = linearize_fused(
                     model, q.reshape(flat, q.shape[-1]),
                     qd.reshape(flat, qd.shape[-1]),
@@ -417,7 +419,7 @@ def ddp_solve(
     use_fused_fwd = (
         config.fused
         and config.fused_feedback is not False
-        and feedback_fused_ok(model, batch_flat * config.n_alphas)
+        and feedback_fused_ok(model, batch_flat * config.n_alphas, x0.dtype)
     )
     # fused Riccati backward sweep (opt-in; see DDPConfig.fused_riccati)
     nx_dim = model.nq + model.nv if not model.root_quat else 2 * model.nv
@@ -427,7 +429,7 @@ def ddp_solve(
         use_fused_bwd = (
             not config.exact_hessians
             and not use_parallel
-            and riccati_fused_ok(nx_dim, model.nv, batch_flat)
+            and riccati_fused_ok(nx_dim, model.nv, batch_flat, x0.dtype)
         )
     else:
         use_fused_bwd = False

@@ -395,3 +395,59 @@ def test_fused_feedback_forward_pass_matches_jnp(arm7, rng):
                                    rtol=1e-9)
         np.testing.assert_allclose(np.asarray(s_f.U), np.asarray(s_j.U),
                                    atol=1e-9)
+
+
+def test_probe_failure_degrades_gracefully(arm7, rng, monkeypatch):
+    """A failed kernel compile probe (simulating a Mosaic scoped-VMEM
+    overflow, VERDICT r2 item 2) silently falls the solver back to the jnp
+    paths: the solve completes and equals the explicitly-jnp solve exactly."""
+    from rbdtpu.kernels import probe
+    from rbdtpu.kernels.fused import feedback_fused_ok
+    from rbdtpu.kernels.colvec import linearize_fused_ok
+    from rbdtpu.solver import DDPConfig, ddp_solve, quadratic_tracking_cost
+
+    monkeypatch.setenv(
+        "RBDTPU_PROBE_FAIL", "feedback_rollout,colvec_linearize,riccati_backward"
+    )
+    probe.clear()
+    try:
+        assert not feedback_fused_ok(arm7, 64)
+        assert not linearize_fused_ok(arm7, 64)
+
+        H = 8
+        cost = quadratic_tracking_cost(arm7, jnp.zeros(arm7.nx))
+        x0 = jnp.array(rng.uniform(-0.5, 0.5, arm7.nx))
+        U0 = jnp.zeros((H, arm7.nv))
+        cfg_probed = DDPConfig(iters=3, fused=True, fused_riccati=True)
+        st, _ = ddp_solve(arm7, cost, x0, U0, cfg_probed)
+        # all probes failed -> identical code path to the forced-jnp config
+        # (rollout kernel fd_step_fused is unprobed: tiny fixed footprint)
+        cfg_jnp = DDPConfig(iters=3, fused=True, fused_feedback=False,
+                            fused_linearize=False, fused_riccati=False)
+        st_ref, _ = ddp_solve(arm7, cost, x0, U0, cfg_jnp)
+        np.testing.assert_array_equal(np.asarray(st.U), np.asarray(st_ref.U))
+    finally:
+        probe.clear()
+
+
+def test_probe_compile_exception_returns_false():
+    """probe_ok traps compile-time exceptions (the Mosaic failure class) and
+    memoizes False instead of propagating."""
+    from rbdtpu.kernels import probe
+
+    probe.clear()
+    try:
+        def boom(x):
+            raise RuntimeError("Mosaic: scoped vmem limit exceeded (simulated)")
+
+        args = (jax.ShapeDtypeStruct((8,), jnp.float32),)
+        assert not probe.probe_ok("boom_kernel", ("k",), boom, args,
+                                  on_tpu=True)
+        # memoized: a second call must not re-raise/re-compile
+        assert not probe.probe_ok("boom_kernel", ("k",), boom, args,
+                                  on_tpu=True)
+        # off-TPU short-circuits True without calling fn
+        assert probe.probe_ok("other_kernel", ("k",), boom, args,
+                              on_tpu=False)
+    finally:
+        probe.clear()
