@@ -51,6 +51,16 @@ class ModelStatic:
         self.Xtree = [[list(r) for r in X] for X in d["Xtree"]]
         self.I = [[list(r) for r in M] for M in d["I"]]
         self.S = [list(s) for s in d["S"]]
+        # homogeneous tree data (absent on models built before it was added
+        # to host_data; the FK kernels check for None)
+        self.Ttree = (
+            [[list(r) for r in T] for T in d["Ttree"]]
+            if "Ttree" in d else None
+        )
+        self.T_fixed = (
+            [[list(r) for r in T] for T in d["T_fixed"]]
+            if "T_fixed" in d else None
+        )
         self.nv = self.nb + 5 if self.fb else self.nb
         self.nq = self.nv + 1 if self.quat else self.nv
 

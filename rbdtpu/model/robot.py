@@ -275,6 +275,10 @@ def make_model(
         ("S", _tup(S)),
         ("I", _tup(I)),
         ("damping", _tup(np.asarray(damping, dtype=np.float64))),
+        # homogeneous tree data for the fused FK / cost-quadratization
+        # kernels (kernels.fk_lane)
+        ("Ttree", _tup(np.asarray(Ttree, dtype=np.float64))),
+        ("T_fixed", _tup(np.asarray(T_fixed, dtype=np.float64))),
     )
     return RobotModel(
         Xtree=asarr(Xtree),

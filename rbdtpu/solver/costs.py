@@ -141,16 +141,73 @@ def quadratic_tracking_cost(
 
 def ee_reaching_cost(
     model: RobotModel, target_xyz, *, w_ee=1.0, w_qd=1e-2, w_u=1e-4,
-    w_ee_f=100.0, w_qd_f=1.0, ee_names=None,
+    w_ee_f=100.0, w_qd_f=1.0, ee_names=None, fused: bool | None = None,
 ) -> Cost:
     """Reach a Cartesian end-effector target (the iiwa reaching task of
     BASELINE.json configs[2]); uses the analytic FK (C11) inside the cost and
-    the analytic FK Jacobian (C12) for the Gauss-Newton quadratization."""
+    the analytic FK Jacobian (C12) for the Gauss-Newton quadratization.
+
+    ``fused``: run the FK + Gauss-Newton terms as ONE Pallas kernel in the
+    colvec layout (kernels.fk_lane — the quadratization was ~1/3 of the arm
+    MPC iteration on the jnp path).  None = auto: on for fixed-base models
+    on TPU when the flattened knot batch packs (compile-probe gated); the
+    geometric-Jacobian kernel equals the analytic chain derivative to
+    roundoff.
+    """
+    import numpy as _np
+
+    try:  # static copy for the fused kernel (folded as lane constants);
+        # unavailable when the target is itself a tracer -> jnp path
+        _tgt_static = tuple(float(t) for t in _np.asarray(target_xyz))
+    except Exception:
+        _tgt_static = None
     target_xyz = jnp.asarray(target_xyz)
     nq, nv = model.nq, model.nv
     nx = nq + nv
+    fused_requested = fused
+
+    def _fused_on(flat_batch, dtype):
+        if model.floating_base or _tgt_static is None:
+            return False
+        if fused_requested is False:
+            return False
+        from ..kernels.fk_lane import ee_gn_fused_ok
+
+        if fused_requested is None:
+            from ..kernels.fused import _on_tpu
+
+            if not _on_tpu():
+                return False
+        return ee_gn_fused_ok(model, flat_batch, dtype)
+
+    def _flat_q(x):
+        q = x[..., :nq]
+        lead = q.shape[:-1]
+        flat = 1
+        for b in lead:
+            flat *= b
+        return q.reshape((flat, nq)), lead, flat
+
+    def _gn_fused(x, gn=True):
+        """(e, g0, H0) via the fused kernel, batch-reshaped; None when the
+        kernel doesn't apply at this shape.  gn=False: position error only
+        (the rollout cost-eval path skips the Jacobian/Hessian outputs)."""
+        q, lead, flat = _flat_q(x)
+        if flat == 0 or not _fused_on(flat, x.dtype):
+            return None
+        from ..kernels.fk_lane import ee_gn_fused
+
+        e, g0, H0 = ee_gn_fused(model, q, _tgt_static,
+                                ee_names=ee_names, gn=gn)
+        if not gn:
+            return (e.reshape(lead + (3,)), None, None)
+        return (e.reshape(lead + (3,)), g0.reshape(lead + (nq,)),
+                H0.reshape(lead + (nq, nq)))
 
     def ee_err(x):
+        out = _gn_fused(x, gn=False)
+        if out is not None:
+            return out[0]
         q = x[..., :nq]
         pos = ee_pose(model, q, ee_names=ee_names)[..., 0, :3]
         return pos - target_xyz
@@ -167,7 +224,12 @@ def ee_reaching_cost(
 
     def _ee_terms(x, w):
         """Gauss-Newton terms of 0.5*w*||e(q)||^2: grad = w J^T e,
-        hess ~= w J^T J through the analytic FK Jacobian."""
+        hess ~= w J^T J through the analytic FK Jacobian (fused kernel when
+        it applies; identical math)."""
+        out = _gn_fused(x)
+        if out is not None:
+            _, g0, H0 = out
+            return w * g0, w * H0
         q = x[..., :nq]
         e = ee_err(x)
         J = ee_pose_gradient(model, q, ee_names=ee_names)[..., 0, :3, :]

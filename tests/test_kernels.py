@@ -451,3 +451,47 @@ def test_probe_compile_exception_returns_false():
                               on_tpu=False)
     finally:
         probe.clear()
+
+
+def test_ee_gn_fused_matches_analytic(arm7, rng):
+    """kernels.fk_lane.ee_gn_fused (geometric position Jacobian, colvec
+    layout) equals the analytic FK chain derivative path (C11/C12) to
+    roundoff, and the fused ee_reaching_cost quadratization equals the jnp
+    one."""
+    from rbdtpu.kernels.fk_lane import ee_gn_fused
+    from rbdtpu.kinematics.fk import ee_pose, ee_pose_gradient
+    from rbdtpu.solver import ee_reaching_cost
+    from rbdtpu.solver.costs import quadratize_trajectory
+
+    m = arm7
+    Bq = 16
+    q = jnp.array(rng.uniform(-1.5, 1.5, (Bq, m.nq)))
+    tgt = (0.3, 0.2, 0.6)
+    e, g0, H0 = ee_gn_fused(m, q, tgt)
+    pos = ee_pose(m, q)[..., 0, :3]
+    e_ref = pos - jnp.array(tgt)
+    J = ee_pose_gradient(m, q)[..., 0, :3, :]
+    np.testing.assert_allclose(np.asarray(e), np.asarray(e_ref), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(g0),
+        np.asarray(jnp.einsum("...ri,...r->...i", J, e_ref)), atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(H0),
+        np.asarray(jnp.einsum("...ri,...rj->...ij", J, J)), atol=1e-12,
+    )
+    # full-cost equivalence: fused vs jnp quadratization of the same states
+    H = 4
+    X = jnp.array(rng.uniform(-1, 1, (H + 1, m.nx)))
+    U = jnp.array(rng.uniform(-1, 1, (H, m.nv)))
+    c_f = ee_reaching_cost(m, jnp.array(tgt), fused=True)
+    c_j = ee_reaching_cost(m, jnp.array(tgt), fused=False)
+    out_f = quadratize_trajectory(c_f, X, U)
+    out_j = quadratize_trajectory(c_j, X, U)
+    for a, b in zip(out_f, out_j):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+    from rbdtpu.solver import trajectory_cost
+    np.testing.assert_allclose(
+        float(trajectory_cost(c_f, X[None], U[None])[0]),
+        float(trajectory_cost(c_j, X[None], U[None])[0]), rtol=1e-12,
+    )
