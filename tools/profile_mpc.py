@@ -75,11 +75,13 @@ def main():
     model = load_asset(name, dtype=np.float32, floating_base=fb)
     print(f"model={name} nx={model.nq + model.nv} nv={model.nv} B={B} H={H} "
           f"devices={jax.devices()}")
+    cost_f = None
     if name == "arm7":
-        cost = ee_reaching_cost(
-            model, jnp.array([0.3, 0.2, 0.8], jnp.float32),
-            w_ee=10.0, w_ee_f=2000.0, w_u=1e-6, w_qd=1e-3, w_qd_f=0.1,
-        )
+        ee_kw = dict(w_ee=10.0, w_ee_f=2000.0, w_u=1e-6, w_qd=1e-3,
+                     w_qd_f=0.1)
+        tgt = jnp.array([0.3, 0.2, 0.8], jnp.float32)
+        cost = ee_reaching_cost(model, tgt, fused=False, **ee_kw)
+        cost_f = ee_reaching_cost(model, tgt, fused=True, **ee_kw)
     else:
         goal = jnp.zeros(model.nq + model.nv, jnp.float32)
         cost = quadratic_tracking_cost(model, goal, w_q=2.0, w_qd=0.05,
@@ -113,6 +115,8 @@ def main():
 
     timed("linearize", lambda: lin(X, U))
     timed("quadratize", lambda: quadratize_trajectory(cost, X, U))
+    if cost_f is not None:
+        timed("quadratize_f", lambda: quadratize_trajectory(cost_f, X, U))
     timed("backward", lambda: backward_pass(
         A, Bm, lx, lu, lxx, luu, lux, lfx, lfxx, reg))
     try:
@@ -134,10 +138,26 @@ def main():
     if feedback_fused_ok(model, B * cfg.n_alphas):
         timed("forward_f", lambda: forward_pass_fused(
             model, cost, X, U, k, K, alphas, cfg.dt, cfg.gravity))
+        if cost_f is not None:
+            timed("forward_fc", lambda: forward_pass_fused(
+                model, cost_f, X, U, k, K, alphas, cfg.dt, cfg.gravity))
     else:
         print("forward_f    (not applicable at this config)")
     timed("full_iter", lambda: ddp_solve(model, cost, x0, U, cfg)[0].J,
           reps=5)
+    if cost_f is not None:
+        timed("full_iter_fc", lambda: ddp_solve(
+            model, cost_f, x0, U, cfg)[0].J, reps=5)
+        timed("full_iter_fc_rb", lambda: ddp_solve(
+            model, cost_f, x0, U,
+            DDPConfig(iters=1, dt=0.01, n_alphas=8, fused=True,
+                      fused_riccati=True))[0].J, reps=5)
+    # variant: fused dynamics kernels but jnp forward pass (decides the
+    # feedback_fused_ok auto-on at this scale)
+    timed("full_iter_nofb", lambda: ddp_solve(
+        model, cost if cost_f is None else cost_f, x0, U,
+        DDPConfig(iters=1, dt=0.01, n_alphas=8, fused=True,
+                  fused_feedback=False))[0].J, reps=5)
 
 
 if __name__ == "__main__":
