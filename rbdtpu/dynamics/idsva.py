@@ -106,19 +106,39 @@ def _world_pass(model: RobotModel, q, qd, qdd, gravity: float):
 
 
 def idsva_so_native(model: RobotModel, q, qd, qdd, gravity: float = -9.81):
-    """Direct second-order sweep (fixed base; reference :1387-1604).
+    """Direct second-order sweep (reference :1387-1604, fixed-base there;
+    this implementation also covers the FLOATING BASE natively — see
+    ``_idsva_so_native_fb``).
 
     (..., n) inputs -> 4 tensors (..., n, n, n); arbitrary leading batch."""
     if model.floating_base:
-        raise ValueError(
-            "idsva_so_native covers fixed-base models (the reference's own "
-            "scope); use idsva_so (dispatches to the AD path for fb)"
-        )
+        if model.root_quat:
+            raise ValueError(
+                "native fb IDSVA-SO covers the rpy root (flat configuration "
+                "chart); the quaternion root uses the AD path"
+            )
+        return _idsva_so_native_fb(model, q, qd, qdd, gravity)
     n = model.nv
     S, Sd, psid, psidd, IC, BC, f = _world_pass(model, q, qd, qdd, gravity)
     dtype = S.dtype
+    Astr = jnp.asarray(np.asarray(model.ancestor_mask(), np.float64), dtype)
+    Anc = Astr + jnp.eye(n, dtype=dtype)
+    return _so_assemble(S, Sd, psid, psidd, IC, BC, f, Anc, Astr)
 
-    # per-body 6x6 factors (reference T1-T4 / D1-D4, :1476-1491)
+
+def _so_assemble(S, Sd, psid, psidd, IC, BC, f, Anc, Astr):
+    """Masked-dense einsum assembly of the four second-order tensors from
+    per-COORDINATE world-frame quantities (reference :1450-1603).
+
+    S/Sd/psid/psidd (..., n, 6); IC/BC (..., n, 6, 6) composite (per
+    coordinate's body); f (..., n, 6); Anc/Astr (n, n) COORDINATE-level
+    precedence (Anc[x, y]: y's body is x's body or an ancestor of it;
+    Astr strict).  Works for 1-DoF-per-body trees (fixed base, where
+    coordinate == body) and for coordinate-expanded floating-base trees
+    (where the 6 root coordinates share body 0) — the d2qd same-body pairs
+    are handled by the clean 3-term form below, exact for multi-DoF roots.
+    """
+    # per-coordinate 6x6 factors (reference T1-T4 / D1-D4, :1476-1491)
     T1 = jnp.einsum("...iab,...ib->...ia", IC, S)
     T2 = -jnp.einsum("...iba,...ib->...ia", BC, S)  # -BC^T S
     T3 = (
@@ -138,12 +158,6 @@ def idsva_so_native(model: RobotModel, q, qd, qdd, gravity: float = -9.81):
     D2 = Bfac(IC, psid) + dotf(BC, S)
     D3 = Bfac(IC, S)
     D4 = icrf(jnp.einsum("...iba,...ib->...ia", IC, S))  # icrf(IC^T S)
-
-    # static precedence masks: Anc[x, y] == 1 iff y == x or y is an ancestor
-    # of x; Astr strict.  (model.ancestor_mask — SURVEY.md §7 P4.)
-    Astr = jnp.asarray(np.asarray(model.ancestor_mask(), np.float64), dtype)
-    Anc = Astr + jnp.eye(n, dtype=dtype)
-    eye = jnp.eye(n, dtype=dtype)
 
     # bilinear helper: bil(D, x, y)[..., r, a, b] = x_a^T D_r y_b
     bil = lambda D, x, y: jnp.einsum("...red,...ae,...bd->...rab", D, x, y)
@@ -184,26 +198,46 @@ def idsva_so_native(model: RobotModel, q, qd, qdd, gravity: float = -9.81):
         + m3("rb,ar", Anc, Astr) * swap_ab(V3)  # b <= r < a
     )
 
-    # ---- d2tau_dqd (reference :1547, :1562, :1572, :1586, :1602) ----------
-    W1 = -bil(D3, S, S)   # -S_a^T D3_r S_b   [r >= a > b]
-    W2 = jnp.einsum("...aed,...re,...bd->...rab", D3, S, S)  # S_r^T D3_a S_b
+    # ---- d2tau_dqd --------------------------------------------------------
+    # Clean 3-term masked form, derived directly from the velocity-quadratic
+    # structure of the bias force (equivalent to the reference's 6-case split
+    # :1547-1602 for 1-DoF trees, and exact for multi-DoF roots / same-body
+    # coordinate pairs, which the case split cannot express):
+    #   d2tau_r/dqd_a dqd_b =
+    #     [b strict-anc a] S_r^T IC_max(r,a) (S_b x S_a)      (+ a<->b swap)
+    #   + [pairwise comparable] S_r^T (crf(S_a) IC_deep S_b
+    #                                  + crf(S_b) IC_deep S_a)
+    # with IC_deep the composite inertia of the deepest of {r, a, b} and
+    # x^T crf(y) z = -(y x x).z folding the crf contractions onto cmSS.
+    ICS = jnp.einsum("...xde,...ye->...xyd", IC, S)  # ICS[x, y] = IC_x S_y
+    # term1 (+ its a<->b swap): [b strict-anc a] S_r^T IC_max(r,a) (S_b x S_a)
+    t1_r = m3("ra,ab", Anc, Astr) * jnp.einsum(
+        "...re,...bae->...rab", T1, cmSS
+    )
+    t1_a = m3("ar,ab", Astr, Astr) * jnp.einsum(
+        "...rd,...ade,...bae->...rab", S, IC, cmSS
+    )
+    term1 = t1_r + t1_a
+    # term3: deepest-of-{r,a,b} composite inertia, partitioned exclusively
+    M_r = m3("ra,rb", Anc, Anc)   # r at least as deep as both
+    M_a = m3("ar,ab", Astr, Anc)  # a strictly deeper than r, >= b
+    M_b = m3("br,ba", Astr, Astr)  # b strictly deeper than both
+    t3_r = -(
+        jnp.einsum("...are,...rbe->...rab", cmSS, ICS)
+        + jnp.einsum("...bre,...rae->...rab", cmSS, ICS)
+    )
+    t3_a = -(
+        jnp.einsum("...are,...abe->...rab", cmSS, ICS)
+        + jnp.einsum("...bre,...ae->...rab", cmSS, T1)
+    )
+    t3_b = -(
+        jnp.einsum("...are,...be->...rab", cmSS, T1)
+        + jnp.einsum("...bre,...bae->...rab", cmSS, ICS)
+    )
     d2qd = (
-        m3("ra,ab", Anc, Astr) * W1
-        + m3("rb,ba", Anc, Astr) * swap_ab(W1)
-        + m3("ab,br", Astr, Astr) * W2           # a > b > r
-        + m3("ba,ar", Astr, Astr) * swap_ab(W2)  # b > a > r
-        + m3("ra,br", Anc, Astr) * swap_ab(W2)   # a <= r < b
-        + m3("rb,ar", Anc, Astr) * W2            # b <= r < a
+        term1 + swap_ab(term1)
+        + M_r * t3_r + M_a * t3_a + M_b * t3_b
     )
-    # diagonal (a == b): r >= a: -S_a^T D1_r S_a;
-    # r < a: T1_a.(S_r x S_a) + S_r.(S_a x* T1_a)
-    diag_desc = -jnp.einsum("...red,...ae,...ad->...ra", D1, S, S)
-    diag_anc = jnp.einsum("...ae,...rae->...ra", T1, cmSS) + jnp.einsum(
-        "...re,...ae->...ra", S, cross_force(S, T1)
-    )
-    d2qd = d2qd + (Anc * diag_desc + jnp.swapaxes(Astr, -1, -2) * diag_anc)[
-        ..., :, :, None
-    ] * eye
 
     # ---- d2tau_dvdq (reference :1534, :1551, :1556, :1576, :1590, :1595) --
     # layout [i, j, k] = d2tau_i / dqd_j dq_k
@@ -248,6 +282,152 @@ def idsva_so_native(model: RobotModel, q, qd, qdd, gravity: float = -9.81):
     return d2q, d2qd, dvdq, dM
 
 
+def _idsva_so_native_fb(model: RobotModel, q, qd, qdd, gravity: float):
+    """Native second-order sweep for the FLOATING BASE, rpy root — beyond
+    the reference's fixed-base-only scope (RBDReference.py:1415).
+
+    Structure (the TPU-first decomposition):
+
+    1. The whole sweep runs in the ROOT frame, where the root's motion
+       subspace is the identity and — crucially — the root POSE enters tau
+       ONLY through the gravity seed u6 = X0(q_root) a_grav = [0; R^T gl]
+       (the same fact the first-order fused linearization exploits,
+       kernels/colvec.py).  tau is AFFINE in that seed, so every
+       root-pose derivative reduces to gravity-loading contractions.
+    2. VELOCITY coordinates (root twist + joint rates) and JOINT-q
+       derivatives come from the coordinate-expanded root-frame world pass:
+       the root contributes 6 coordinates sharing body 0 with S = e_c,
+       psid = 0, psidd = u6 x e_c, Sd = v0 x e_c, and the masked-einsum
+       assembly (``_so_assemble``) runs on body-level precedence expanded
+       to coordinates.  The d2qd 3-term form is exact for the same-body
+       root pairs.
+    3. Root-POSE q columns: translation columns vanish (gravity is
+       translation-invariant); rotation columns are
+         d2tau/dth_a dth_b = T1_r . d2u6/dth^2        (T1_r = IC_r S_r)
+         d2tau/dq_j dth_m = -[j anc-or-self r] T1_r . (S_j x du_m)
+                            + [j in strict subtree r] S_r^T D1_j du_m
+       (the dS_r and dIC_r terms of the first case cancel via
+       x^T crf(y) z = -(y x x).z).  d2tau/dqd dth = 0 and dM/dth = 0
+       (the mass matrix in body-twist coordinates is pose-independent).
+    """
+    nb, nv = model.nb, model.nv
+    Xs = joint_transforms_list(model, q)
+    dtype = Xs[0].dtype
+    a_grav = jnp.zeros(q.shape[:-1] + (6,), dtype).at[..., 5].set(-gravity)
+    u6 = mv(Xs[0], a_grav)  # gravity seed in the root frame
+
+    # ---- body-level root-frame pass (Xup[0] = identity) ----
+    Xup, S0, v, a, psid, psidd, Sd, IC, BC, f = (
+        [None] * nb for _ in range(10)
+    )
+    v[0] = qd[..., 0:6]
+    a[0] = u6 + qdd[..., 0:6]
+    IC[0] = jnp.broadcast_to(model.I[0], u6.shape[:-1] + (6, 6))
+    BC[0] = 2.0 * factor_inertia(IC[0], v[0])
+    f[0] = mv(IC[0], a[0]) + cross_force(v[0], mv(IC[0], v[0]))
+    for i in range(1, nb):
+        p = model.parent[i]
+        Xup[i] = Xs[i] if p == 0 else mm(Xs[i], Xup[p])
+        S0[i] = mv(_x_inv(Xup[i]), jnp.broadcast_to(model.S[i], u6.shape))
+        vp, ap = v[p], a[p]
+        qd_i = qd[..., model.v_index(i), None]
+        vJ = S0[i] * qd_i
+        psid[i] = cross_motion(vp, S0[i])
+        psidd[i] = cross_motion(ap, S0[i]) + cross_motion(vp, psid[i])
+        v[i] = vp + vJ
+        a[i] = (
+            ap + cross_motion(vp, vJ)
+            + S0[i] * qdd[..., model.v_index(i), None]
+        )
+        Sd[i] = cross_motion(v[i], S0[i])
+        IC[i] = mtm(Xup[i], mm(jnp.broadcast_to(model.I[i], Xup[i].shape),
+                               Xup[i]))
+        BC[i] = 2.0 * factor_inertia(IC[i], v[i])
+        f[i] = mv(IC[i], a[i]) + cross_force(v[i], mv(IC[i], v[i]))
+
+    stack = lambda xs: jnp.stack(xs, axis=-2)
+    stackm = lambda xs: jnp.stack(xs, axis=-3)
+    st = jnp.asarray(model.subtree_mask(), dtype)
+    ICb = jnp.einsum("ij,...jab->...iab", st, stackm(IC))
+    BCb = jnp.einsum("ij,...jab->...iab", st, stackm(BC))
+    fb_ = jnp.einsum("ij,...ja->...ia", st, stack(f))
+
+    # ---- coordinate expansion: 6 root coords (body 0) + joints ----
+    bmap = np.array([0] * 6 + list(range(1, nb)))
+    batch = u6.shape[:-1]
+    eye6 = jnp.broadcast_to(jnp.eye(6, dtype=dtype), batch + (6, 6))
+    zero6 = jnp.zeros(batch + (6, 6), dtype)
+    Sc = jnp.concatenate([eye6, stack(S0[1:])], axis=-2)
+    psid_c = jnp.concatenate([zero6, stack(psid[1:])], axis=-2)
+    # root: parent is the inertial frame with the gravity-trick acceleration
+    psidd_root = cross_motion(u6[..., None, :], eye6)
+    psidd_c = jnp.concatenate([psidd_root, stack(psidd[1:])], axis=-2)
+    Sd_root = cross_motion(v[0][..., None, :], eye6)
+    Sd_c = jnp.concatenate([Sd_root, stack(Sd[1:])], axis=-2)
+    ICc = jnp.take(ICb, jnp.asarray(bmap), axis=-3)
+    BCc = jnp.take(BCb, jnp.asarray(bmap), axis=-3)
+    fc = jnp.take(fb_, jnp.asarray(bmap), axis=-2)
+
+    Ab = np.asarray(model.ancestor_mask(), np.float64)  # strict, body level
+    Astr_c = jnp.asarray(Ab[np.ix_(bmap, bmap)], dtype)
+    Anc_c = Astr_c + jnp.asarray(
+        (bmap[:, None] == bmap[None, :]).astype(np.float64), dtype
+    )
+
+    d2q, d2qd, dvdq, dM = _so_assemble(
+        Sc, Sd_c, psid_c, psidd_c, ICc, BCc, fc, Anc_c, Astr_c
+    )
+
+    # ---- root-pose q columns (gravity blocks) ----
+    from ..spatial.transforms import floating_spatial_x
+
+    Xtree0 = jnp.asarray(model.Xtree[0], dtype)
+    agv = jnp.zeros((6,), dtype).at[5].set(-gravity)
+
+    def u_fn(th):
+        q6 = jnp.concatenate([jnp.zeros((3,), dtype), th])
+        return floating_spatial_x(Xtree0, q6) @ agv
+
+    def derivs(th):
+        return jax.jacfwd(u_fn)(th), jax.jacfwd(jax.jacfwd(u_fn))(th)
+
+    th = q[..., 3:6]
+    if th.ndim == 1:
+        du, d2u = derivs(th)  # (6, 3), (6, 3, 3)
+    else:
+        flat = th.reshape((-1, 3))
+        du, d2u = jax.vmap(derivs)(flat)
+        du = du.reshape(batch + (6, 3))
+        d2u = d2u.reshape(batch + (6, 3, 3))
+
+    T1c = jnp.einsum("...iab,...ib->...ia", ICc, Sc)
+    D1c = dot_inertia(ICc, Sc)
+    # zero out the garbage the sweep produced in root q columns
+    colmask = jnp.concatenate(
+        [jnp.zeros((6,), dtype), jnp.ones((nv - 6,), dtype)]
+    )
+    d2q = d2q * colmask[:, None] * colmask[None, :]
+    dvdq = dvdq * colmask
+    dM = dM * colmask
+    # theta-theta block
+    gg = jnp.einsum("...re,...emn->...rmn", T1c, d2u)
+    d2q = d2q.at[..., 3:6, 3:6].set(gg)
+    # joint-theta cross block
+    duT = jnp.swapaxes(du, -1, -2)  # (..., 3, 6)
+    cmSdu = cross_motion(Sc[..., :, None, :], duT[..., None, :, :])
+    cross = (
+        -Anc_c[..., :, :, None]
+        * jnp.einsum("...re,...jme->...rjm", T1c, cmSdu)
+        + jnp.swapaxes(Astr_c, -1, -2)[..., :, :, None]
+        * jnp.einsum("...jde,...rd,...me->...rjm", D1c, Sc, duT)
+    )
+    d2q = d2q.at[..., 6:, 3:6].set(cross[..., 6:, :])
+    d2q = d2q.at[..., 3:6, 6:].set(
+        jnp.swapaxes(cross[..., 6:, :], -1, -2)
+    )
+    return d2q, d2qd, dvdq, dM
+
+
 def idsva_so_ad(model: RobotModel, q, qd, qdd, gravity: float = -9.81):
     """Second-order tensors by forward-mode AD over the analytical first-order
     kernel (``rnea_grad``) — exact for branched trees AND floating bases
@@ -283,9 +463,11 @@ def idsva_so(model: RobotModel, q, qd, qdd, gravity: float = -9.81):
     (..., nq), (..., nv), (..., nv) -> 4 tensors (..., n, n, n) as documented
     in the module header (reference ``second_order_idsva_parallel``
     RBDReference.py:1387-1604).  Dispatch: direct native sweep for fixed-base
-    models, AD-over-analytic-gradient for floating base.
+    AND rpy-root floating-base models; AD-over-analytic-gradient for the
+    quaternion root (its tangent chart carries retraction curvature the
+    rpy-chart decomposition does not model).
     """
-    if model.floating_base:
+    if model.floating_base and model.root_quat:
         return idsva_so_ad(model, q, qd, qdd, gravity)
     return idsva_so_native(model, q, qd, qdd, gravity)
 

@@ -167,3 +167,61 @@ def test_idsva_so_batched(arm7, rng):
     for o, s in zip(outs, singles):
         assert o.shape == (2,) + s.shape
         np.testing.assert_allclose(np.asarray(o[1]), np.asarray(s), atol=1e-10)
+
+
+def test_idsva_native_floating_base_matches_ad(quadruped12fb, rng):
+    """The native fb sweep (root-frame coordinate expansion + gravity-seed
+    decomposition for the rpy-chart pose columns) equals AD of the exact
+    rnea_grad at machine precision — beyond the reference's fixed-base-only
+    scope (RBDReference.py:1415)."""
+    from rbdtpu.dynamics.idsva import idsva_so_native, idsva_so_ad
+
+    m = quadruped12fb
+    q, qd, _ = random_state(rng, m)
+    qdd = rng.uniform(-1, 1, m.nv)
+    A = idsva_so_native(m, jnp.array(q), jnp.array(qd), jnp.array(qdd))
+    B = idsva_so_ad(m, jnp.array(q), jnp.array(qd), jnp.array(qdd))
+    for name, x, y in zip(("d2q", "d2qd", "dvdq", "dM"), A, B):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=1e-10, err_msg=name
+        )
+    # nonstandard gravity exercises the gravity-loading blocks
+    A0 = idsva_so_native(m, jnp.array(q), jnp.array(qd), jnp.array(qdd),
+                         gravity=3.71)
+    B0 = idsva_so_ad(m, jnp.array(q), jnp.array(qd), jnp.array(qdd),
+                     gravity=3.71)
+    for x, y in zip(A0, B0):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-10)
+
+
+def test_idsva_native_floating_base_branched_batched(rng):
+    """Branched fb tree (humanoid), batched inputs: native == AD."""
+    from rbdtpu.model import load_asset
+    from rbdtpu.dynamics.idsva import idsva_so_native, idsva_so_ad
+
+    m = load_asset("humanoid30", dtype=np.float64, floating_base=True)
+    q, qd, _ = random_state(rng, m, batch=(2,))
+    qdd = rng.uniform(-1, 1, (2, m.nv))
+    A = idsva_so_native(m, jnp.array(q), jnp.array(qd), jnp.array(qdd))
+    B = idsva_so_ad(m, jnp.array(q), jnp.array(qd), jnp.array(qdd))
+    for x, y in zip(A, B):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-9)
+
+
+def test_exact_hessian_ddp_floating_base(quadruped12fb, rng):
+    """Exact-Hessian (full DDP) solve on the floating-base quadruped runs
+    through the native fb IDSVA sweep and still converges (VERDICT r2 next
+    #6: lift the fixed-base restriction)."""
+    from rbdtpu.solver import DDPConfig, ddp_solve, quadratic_tracking_cost
+
+    m = quadruped12fb
+    H, dt = 8, 0.02
+    x_goal = jnp.zeros(m.nq + m.nv).at[2].set(0.35)
+    x0 = jnp.array(x_goal).at[2].add(0.05).at[6].add(0.2)
+    cost = quadratic_tracking_cost(m, x_goal, w_q=5.0, w_qd=0.1, w_u=1e-4)
+    U0 = jnp.zeros((H, m.nv))
+    st, Jh = ddp_solve(
+        m, cost, x0, U0, DDPConfig(iters=6, dt=dt, exact_hessians=True)
+    )
+    J = np.asarray(Jh)
+    assert np.isfinite(J).all() and J[-1] < J[0]

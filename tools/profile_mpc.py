@@ -41,24 +41,29 @@ from rbdtpu.solver.rollout import rollout  # noqa: E402
 
 
 def timed(name, fn, *args, reps=20, calls=4):
-    """Amortize `reps` executions inside one jit; min over `calls` calls."""
+    """Amortize `reps` executions inside one jit; min over `calls` calls.
 
-    def body(_, __):
-        out = fn(*args)
-        return _, jax.tree.map(
-            lambda a: a.reshape(-1)[0].astype(jnp.float32), out
-        )
+    ``args`` are jit PARAMETERS (device inputs), not closure captures —
+    captured concrete arrays embed in the HLO as constants and at benchmark
+    sizes blow the remote-compile request limit (HTTP 413 on the tunnel)."""
 
-    f = jax.jit(
-        lambda: jax.lax.scan(body, 0, None, length=reps)[1]
-    )
+    def prog(*a):
+        def body(_, __):
+            out = fn(*a)
+            return _, jax.tree.map(
+                lambda x: x.reshape(-1)[0].astype(jnp.float32), out
+            )
+
+        return jax.lax.scan(body, 0, None, length=reps)[1]
+
+    f = jax.jit(prog)
     t0 = time.perf_counter()
-    jax.block_until_ready(f())
+    jax.block_until_ready(f(*args))
     compile_s = time.perf_counter() - t0
     best = float("inf")
     for _ in range(calls):
         t0 = time.perf_counter()
-        jax.block_until_ready(f())
+        jax.block_until_ready(f(*args))
         best = min(best, time.perf_counter() - t0)
     per = best / reps
     print(f"{name:12s} {per * 1e3:8.3f} ms/exec   (compile {compile_s:.1f}s)")
@@ -113,51 +118,65 @@ def main():
     alphas = 2.0 ** -jnp.arange(cfg.n_alphas, dtype=jnp.float32)
     step_fn = _make_step(model, cfg)
 
-    timed("linearize", lambda: lin(X, U))
-    timed("quadratize", lambda: quadratize_trajectory(cost, X, U))
+    timed("linearize", lin, X, U)
+    timed("quadratize",
+          lambda X_, U_: quadratize_trajectory(cost, X_, U_), X, U)
     if cost_f is not None:
-        timed("quadratize_f", lambda: quadratize_trajectory(cost_f, X, U))
-    timed("backward", lambda: backward_pass(
-        A, Bm, lx, lu, lxx, luu, lux, lfx, lfxx, reg))
+        timed("quadratize_f",
+              lambda X_, U_: quadratize_trajectory(cost_f, X_, U_), X, U)
+    timed("backward", backward_pass,
+          A, Bm, lx, lu, lxx, luu, lux, lfx, lfxx, reg)
     try:
         from rbdtpu.kernels.riccati import (
             backward_pass_fused, riccati_fused_ok,
         )
 
         if riccati_fused_ok(model.nq + model.nv, model.nv, B):
-            timed("backward_f", lambda: backward_pass_fused(
-                A, Bm, lx, lu, lxx, luu, lux, lfx, lfxx, reg))
+            timed("backward_f", backward_pass_fused,
+                  A, Bm, lx, lu, lxx, luu, lux, lfx, lfxx, reg)
         else:
             print("backward_f   (not applicable at this config)")
     except Exception as e:  # surface compile failures, keep profiling
         print(f"backward_f   FAILED: {type(e).__name__}: {e}")
-    timed("forward", lambda: forward_pass(
-        model, cost, X, U, k, K, alphas, cfg.dt, cfg.gravity, step_fn))
+    timed("forward",
+          lambda X_, U_, k_, K_: forward_pass(
+              model, cost, X_, U_, k_, K_, alphas, cfg.dt, cfg.gravity,
+              step_fn), X, U, k, K)
     from rbdtpu.kernels.fused import feedback_fused_ok
 
     if feedback_fused_ok(model, B * cfg.n_alphas):
-        timed("forward_f", lambda: forward_pass_fused(
-            model, cost, X, U, k, K, alphas, cfg.dt, cfg.gravity))
+        timed("forward_f",
+              lambda X_, U_, k_, K_: forward_pass_fused(
+                  model, cost, X_, U_, k_, K_, alphas, cfg.dt, cfg.gravity),
+              X, U, k, K)
         if cost_f is not None:
-            timed("forward_fc", lambda: forward_pass_fused(
-                model, cost_f, X, U, k, K, alphas, cfg.dt, cfg.gravity))
+            timed("forward_fc",
+                  lambda X_, U_, k_, K_: forward_pass_fused(
+                      model, cost_f, X_, U_, k_, K_, alphas, cfg.dt,
+                      cfg.gravity), X, U, k, K)
     else:
         print("forward_f    (not applicable at this config)")
-    timed("full_iter", lambda: ddp_solve(model, cost, x0, U, cfg)[0].J,
-          reps=5)
+    timed("full_iter",
+          lambda x_, U_: ddp_solve(model, cost, x_, U_, cfg)[0].J,
+          x0, U, reps=5)
     if cost_f is not None:
-        timed("full_iter_fc", lambda: ddp_solve(
-            model, cost_f, x0, U, cfg)[0].J, reps=5)
-        timed("full_iter_fc_rb", lambda: ddp_solve(
-            model, cost_f, x0, U,
-            DDPConfig(iters=1, dt=0.01, n_alphas=8, fused=True,
-                      fused_riccati=True))[0].J, reps=5)
+        timed("full_iter_fc",
+              lambda x_, U_: ddp_solve(model, cost_f, x_, U_, cfg)[0].J,
+              x0, U, reps=5)
+        timed("full_iter_fc_rb",
+              lambda x_, U_: ddp_solve(
+                  model, cost_f, x_, U_,
+                  DDPConfig(iters=1, dt=0.01, n_alphas=8, fused=True,
+                            fused_riccati=True))[0].J,
+              x0, U, reps=5)
     # variant: fused dynamics kernels but jnp forward pass (decides the
     # feedback_fused_ok auto-on at this scale)
-    timed("full_iter_nofb", lambda: ddp_solve(
-        model, cost if cost_f is None else cost_f, x0, U,
-        DDPConfig(iters=1, dt=0.01, n_alphas=8, fused=True,
-                  fused_feedback=False))[0].J, reps=5)
+    timed("full_iter_nofb",
+          lambda x_, U_: ddp_solve(
+              model, cost if cost_f is None else cost_f, x_, U_,
+              DDPConfig(iters=1, dt=0.01, n_alphas=8, fused=True,
+                        fused_feedback=False))[0].J,
+          x0, U, reps=5)
 
 
 if __name__ == "__main__":
