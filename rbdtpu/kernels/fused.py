@@ -454,6 +454,26 @@ def feedback_fused_ok(model: RobotModel, batch_total: int,
     return probe_ok("feedback_rollout", key, fn, args, on_tpu=_on_tpu())
 
 
+def _dx_rows(ms: ModelStatic, x, xn):
+    """Tangent state diff dx (list of 2*nv lane scalars) between the current
+    packed state x and the nominal xn (lists of nx rows) — the in-kernel twin
+    of solver.integrate.state_diff (flat difference unless quaternion root,
+    which takes the manifold diff [quat_log_rel, R0^T dp, flat rows])."""
+    nx = ms.nq + ms.nv
+    if not (ms.fb and ms.quat):
+        return [x[i] - xn[i] for i in range(nx)]
+    dth = ls.quat_log_rel(
+        (xn[3], xn[4], xn[5], xn[6]), (x[3], x[4], x[5], x[6])
+    )
+    R0 = ls.quat_R(xn[3], xn[4], xn[5], xn[6])
+    d = [x[i] - xn[i] for i in range(3)]
+    dp = [
+        R0[0][k] * d[0] + R0[1][k] * d[1] + R0[2][k] * d[2]
+        for k in range(3)
+    ]  # R0^T (p - p_nom): world delta in nominal body frame
+    return list(dth) + dp + [x[i] - xn[i] for i in range(7, nx)]
+
+
 def feedback_rollout_fused(model: RobotModel, x0, X_nom, U_nom, k_ff, K_fb,
                            dt: float, gravity: float = -9.81,
                            u_clip=None, interpret: bool | None = None):
@@ -530,23 +550,7 @@ def feedback_rollout_fused(model: RobotModel, x0, X_nom, U_nom, k_ff, K_fb,
 
     def kernel(x_ref, Xt_ref, Ut_ref, kt_ref, Kt_ref, xo_ref, uo_ref):
         x = [x_ref[i] for i in range(nx)]
-        if ms.fb and ms.quat:
-            xn = [Xt_ref[i] for i in range(nx)]
-            dth = ls.quat_log_rel(
-                (xn[3], xn[4], xn[5], xn[6]), (x[3], x[4], x[5], x[6])
-            )
-            R0 = ls.quat_R(xn[3], xn[4], xn[5], xn[6])
-            d = [x[i] - xn[i] for i in range(3)]
-            dp = [
-                R0[0][k] * d[0] + R0[1][k] * d[1] + R0[2][k] * d[2]
-                for k in range(3)
-            ]  # R0^T (p - p_nom): world delta in nominal body frame
-            dx = (
-                list(dth) + dp
-                + [x[i] - xn[i] for i in range(7, nx)]
-            )
-        else:
-            dx = [x[i] - Xt_ref[i] for i in range(nx)]
+        dx = _dx_rows(ms, x, [Xt_ref[i] for i in range(nx)])
         u = []
         for i in range(nv):
             acc = Ut_ref[i] + kt_ref[i]
@@ -588,6 +592,196 @@ def feedback_rollout_fused(model: RobotModel, x0, X_nom, U_nom, k_ff, K_fb,
     unpackH = lambda a, r: jnp.transpose(
         a.reshape(H, r, Bp), (2, 0, 1)
     )[:B]
+    return unpackH(X_st, nx), unpackH(U_st, nv)
+
+
+def feedback_chunks(model: RobotModel, batch_total: int,
+                    max_chunks: int = 8) -> int | None:
+    """Smallest K-gain chunk count (1..max_chunks) whose per-call VMEM
+    footprint allows >= 128-lane blocks at this batch (or covers the whole
+    batch) — the enabling condition for feedback_rollout_fused_chunked when
+    the unchunked kernel's K block (nv * 2nv rows) exceeds the budget at
+    humanoid size.  None when even max_chunks doesn't fit."""
+    if batch_total % 8 != 0:
+        return None
+    nv = int(model.nv)
+    nx = int(model.nq) + nv
+    ndx = 2 * nv
+    BT = _pad_batch(batch_total) // 8
+    for c in range(1, max_chunks + 1):
+        cw = -(-ndx // c)
+        # chunk kernel holds x, Xt (nx each), the K chunk, u partial (nv)
+        rows = 2 * nx + nv * cw + nv
+        lanes = (6 * 1024 * 1024) // (rows * 8 * 4)
+        if lanes >= min(BT, 128):
+            return c
+    return None
+
+
+def feedback_chunked_ok(model: RobotModel, batch_total: int,
+                        dtype=jnp.float32) -> int | None:
+    """Chunk count for feedback_rollout_fused_chunked at this batch, or None
+    when no chunking fits — the large-K fallback tier behind
+    feedback_fused_ok (VERDICT r2 next #7: humanoid-size K blocks).  Same
+    two-gate structure: the static budget picks a candidate, then a compile
+    probe of the exact layout is authoritative (kernels.probe)."""
+    c = feedback_chunks(model, batch_total)
+    if c is None:
+        return None
+    from .probe import probe_ok
+
+    nv = int(model.nv)
+    nx = int(model.nq) + nv
+    ndx = 2 * nv
+    Bp = _pad_batch(batch_total)
+    sds = lambda *s: jax.ShapeDtypeStruct(s, dtype)
+    fn = lambda x0, Xn, Un, kf, Kf: feedback_rollout_fused_chunked(
+        model, x0, Xn, Un, kf, Kf, 0.01, nchunks=c
+    )
+    args = (sds(batch_total, nx), sds(batch_total, 1, nx),
+            sds(batch_total, 1, nv), sds(batch_total, 1, nv),
+            sds(batch_total, 1, nv, ndx))
+    key = (model.parent, model.joint_type, model.floating_base,
+           model.root_quat, Bp, c, jnp.dtype(dtype).name)
+    if probe_ok("feedback_chunked", key, fn, args, on_tpu=_on_tpu()):
+        return c
+    return None
+
+
+def feedback_rollout_fused_chunked(
+    model: RobotModel, x0, X_nom, U_nom, k_ff, K_fb, dt: float,
+    gravity: float = -9.81, u_clip=None, nchunks: int = 2,
+    interpret: bool | None = None,
+):
+    """feedback_rollout_fused for K-gain blocks that exceed VMEM in one
+    piece (large-batch humanoid line search — VERDICT r2 next #7).
+
+    The per-step work splits into nchunks+1 Pallas calls, all in the packed
+    lane layout with zero per-step layout ops:
+      - chunk c computes the partial feedback u_c = K[:, c-th column slice]
+        @ dx (each call holds only nv * ceil(ndx/nchunks) K rows in VMEM;
+        the tangent diff dx is recomputed per chunk — trivial next to K),
+      - the dynamics call applies u = clamp(U_t + k_t + sum_c u_c), runs
+        ABA + semi-implicit Euler.
+    K is packed COLUMN-major ((H, ndx*nv, 8, BT), row j*nv + i) so each
+    chunk's rows are one contiguous block.  Exactly matches
+    feedback_rollout_fused / the jnp forward pass (tests).
+    """
+    ms = get_static(model)
+    nq, nv = ms.nq, ms.nv
+    nx = nq + nv
+    ndx = 2 * nv
+    cw = -(-ndx // nchunks)
+    nchunks = -(-ndx // cw)  # renormalize: every chunk nonempty
+    ndx_p = cw * nchunks
+    B, H = U_nom.shape[-3], U_nom.shape[-2]
+    if interpret is None:
+        interpret = not _on_tpu()
+    Bp = _pad_batch(B)
+    if Bp != B:
+        padz = lambda a: jnp.concatenate(
+            [a, jnp.zeros((Bp - B,) + a.shape[1:], a.dtype)], axis=0)
+        x0, X_nom, U_nom, k_ff, K_fb = map(
+            padz, (x0, X_nom, U_nom, k_ff, K_fb))
+        if ms.fb and ms.quat:
+            x0 = x0.at[B:, 3].set(1.0)
+            X_nom = X_nom.at[B:, :, 3].set(1.0)
+    lims = None if u_clip is None else [float(v) for v in np.asarray(u_clip)]
+    BT = Bp // 8
+    rows_chunk = 2 * nx + nv * cw + nv
+    lanes = (6 * 1024 * 1024) // (rows_chunk * 8 * 4)
+    L = _pick_lanes(Bp, min(512, lanes))
+    if L > lanes:
+        cands = [d for d in range(1, min(lanes, BT) + 1) if BT % d == 0]
+        if not cands:
+            raise ValueError("chunked feedback kernel exceeds VMEM at 1 lane")
+        L = max(cands)
+    nblocks = BT // L
+
+    packH = lambda a, r: jnp.transpose(a, (1, 2, 0)).reshape(H, r, 8, BT)
+    Xn_p = packH(X_nom, nx)
+    Un_p = packH(U_nom, nv)
+    k_p = packH(k_ff, nv)
+    # column-major K pack: (B, H, nv, ndx) -> (H, ndx_p * nv, 8, BT),
+    # row index j * nv + i (chunk c owns rows [c*cw*nv, (c+1)*cw*nv))
+    K_cm = jnp.swapaxes(K_fb, -1, -2)  # (Bp, H, ndx, nv)
+    if ndx_p != ndx:
+        K_cm = jnp.concatenate(
+            [K_cm, jnp.zeros((Bp, H, ndx_p - ndx, nv), K_cm.dtype)], axis=-2
+        )
+    K_p = packH(K_cm.reshape(Bp, H, ndx_p * nv), ndx_p * nv)
+    x_p = _pack(x0, nx)
+
+    mkspec = lambda rows: pl.BlockSpec((rows, 8, L), lambda b: (0, 0, b),
+                                       memory_space=pltpu.VMEM)
+
+    def make_chunk_call(c):
+        j0 = c * cw
+
+        def kernel(x_ref, Xt_ref, Kc_ref, uo_ref):
+            x = [x_ref[i] for i in range(nx)]
+            dx = _dx_rows(ms, x, [Xt_ref[i] for i in range(nx)])
+            for i in range(nv):
+                acc = None
+                for jj in range(cw):
+                    j = j0 + jj
+                    if j >= ndx:
+                        break
+                    t = Kc_ref[jj * nv + i] * dx[j]
+                    acc = t if acc is None else acc + t
+                uo_ref[i] = acc
+
+        kspec = pl.BlockSpec((cw * nv, 8, L), lambda b, cc=c: (cc, 0, b),
+                             memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(nblocks,),
+            in_specs=[mkspec(nx), mkspec(nx), kspec],
+            out_specs=mkspec(nv),
+            out_shape=jax.ShapeDtypeStruct((nv, 8, BT), x0.dtype),
+            interpret=interpret,
+        )
+
+    chunk_calls = [make_chunk_call(c) for c in range(nchunks)]
+
+    def dyn_kernel(x_ref, u_ref, xo_ref, uo_ref):
+        x = [x_ref[i] for i in range(nx)]
+        u = []
+        for i in range(nv):
+            ui = u_ref[i]
+            if lims is not None and np.isfinite(lims[i]):
+                ui = jnp.clip(ui, -lims[i], lims[i])
+            u.append(ui)
+        q_s, qd_s = x[:nq], x[nq:]
+        qdd = aba_lane(ms, q_s, qd_s, u, gravity)
+        qd_new = [qd_s[i] + dt * qdd[i] for i in range(nv)]
+        q_new = _integrate_q_lane(ms, q_s, qd_new, dt)
+        for i in range(nq):
+            xo_ref[i] = q_new[i]
+        for i in range(nv):
+            xo_ref[nq + i] = qd_new[i]
+            uo_ref[i] = u[i]
+
+    dyn_call = pl.pallas_call(
+        dyn_kernel,
+        grid=(nblocks,),
+        in_specs=[mkspec(nx), mkspec(nv)],
+        out_specs=(mkspec(nx), mkspec(nv)),
+        out_shape=(jax.ShapeDtypeStruct((nx, 8, BT), x0.dtype),
+                   jax.ShapeDtypeStruct((nv, 8, BT), x0.dtype)),
+        interpret=interpret,
+    )
+
+    def step(x_c, inp):
+        Xt, Ut, kt, Kt = inp
+        u = Ut + kt
+        for call in chunk_calls:
+            u = u + call(x_c, Xt, Kt)
+        x_new, u_out = dyn_call(x_c, u)
+        return x_new, (x_new, u_out)
+
+    _, (X_st, U_st) = jax.lax.scan(step, x_p, (Xn_p, Un_p, k_p, K_p))
+    unpackH = lambda a, r: jnp.transpose(a.reshape(H, r, Bp), (2, 0, 1))[:B]
     return unpackH(X_st, nx), unpackH(U_st, nv)
 
 

@@ -330,13 +330,16 @@ def forward_pass(model: RobotModel, cost: Cost, X, U, k, K, alphas, dt,
 
 
 def forward_pass_fused(model: RobotModel, cost: Cost, X, U, k, K, alphas,
-                       dt, gravity, u_clip=None):
+                       dt, gravity, u_clip=None, nchunks=None):
     """forward_pass with the feedback law fused into the rollout kernel
     (kernels.feedback_rollout_fused): the whole alpha ladder x problem batch
     flattens into one packed lane batch, scanned with zero per-step layout
     ops.  Same contract as forward_pass (u_clip clamps inside the kernel
-    as static lane constants)."""
-    from ..kernels.fused import feedback_rollout_fused
+    as static lane constants).  nchunks selects the chunked-K variant
+    (kernels.feedback_rollout_fused_chunked) for K-gain blocks that exceed
+    VMEM in one piece (large-batch humanoid line search)."""
+    from ..kernels.fused import (feedback_rollout_fused,
+                                 feedback_rollout_fused_chunked)
 
     n_alpha = alphas.shape[0]
     batch = U.shape[:-2]
@@ -346,10 +349,16 @@ def forward_pass_fused(model: RobotModel, cost: Cost, X, U, k, K, alphas,
     nb_lead = len(batch) + 1
     flat = lambda a: a.reshape((-1,) + a.shape[nb_lead:])
     X_b, U_b, K_b, k_b = flat(bx(X)), flat(bx(U)), flat(bx(K)), flat(k_eff)
-    X_new, U_new = feedback_rollout_fused(
-        model, X_b[..., 0, :], X_b[..., :-1, :], U_b, k_b, K_b, dt, gravity,
-        u_clip=u_clip,
-    )
+    if nchunks is None:
+        X_new, U_new = feedback_rollout_fused(
+            model, X_b[..., 0, :], X_b[..., :-1, :], U_b, k_b, K_b, dt,
+            gravity, u_clip=u_clip,
+        )
+    else:
+        X_new, U_new = feedback_rollout_fused_chunked(
+            model, X_b[..., 0, :], X_b[..., :-1, :], U_b, k_b, K_b, dt,
+            gravity, u_clip=u_clip, nchunks=nchunks,
+        )
     lead = (n_alpha,) + batch
     X_new = jnp.concatenate([X_b[..., 0:1, :], X_new], axis=-2)
     X_new = X_new.reshape(lead + X_new.shape[1:])
@@ -413,14 +422,23 @@ def ddp_solve(
     # lane layout, feedback law (tangent-space, incl. the quat-root manifold
     # diff) and the static effort-box clamp inside the dynamics kernel.
     # Large-batch humanoid-size K gain blocks (nv*2nv rows) exceed VMEM ->
-    # jnp pass (kernels.fused.feedback_fused_ok)
-    from ..kernels.fused import feedback_fused_ok
+    # chunked-K variant (kernels.feedback_rollout_fused_chunked), and only
+    # if no chunking fits either -> jnp pass (kernels.fused.feedback_fused_ok
+    # / feedback_chunked_ok)
+    from ..kernels.fused import feedback_chunked_ok, feedback_fused_ok
 
+    fwd_nchunks = None
     use_fused_fwd = (
         config.fused
         and config.fused_feedback is not False
         and feedback_fused_ok(model, batch_flat * config.n_alphas, x0.dtype)
     )
+    if (not use_fused_fwd and config.fused
+            and config.fused_feedback is not False):
+        fwd_nchunks = feedback_chunked_ok(
+            model, batch_flat * config.n_alphas, x0.dtype
+        )
+        use_fused_fwd = fwd_nchunks is not None
     # fused Riccati backward sweep (opt-in; see DDPConfig.fused_riccati)
     nx_dim = model.nq + model.nv if not model.root_quat else 2 * model.nv
     if config.fused_riccati:
@@ -480,7 +498,7 @@ def ddp_solve(
         if use_fused_fwd:
             Xs, Us, Js = forward_pass_fused(
                 model, cost, state.X, state.U, k, K, alphas, dt, gravity,
-                u_clip=u_clip,
+                u_clip=u_clip, nchunks=fwd_nchunks,
             )
         else:
             Xs, Us, Js = forward_pass(

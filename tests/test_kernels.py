@@ -367,6 +367,85 @@ def test_fused_feedback_forward_pass_quat_root(quadruped12quat, rng):
     np.testing.assert_allclose(np.asarray(J_f), np.asarray(J_j), rtol=1e-9)
 
 
+def test_chunked_feedback_matches_unchunked(arm7, rng):
+    """feedback_rollout_fused_chunked (K split over VMEM-sized column
+    chunks — the humanoid large-K tier) reproduces the jnp forward pass
+    exactly at every chunk count, including non-dividing chunk widths
+    (padded K rows) and the static effort clamp."""
+    from rbdtpu.solver.ddp import forward_pass, forward_pass_fused
+
+    from rbdtpu.solver import ee_reaching_cost
+
+    m = arm7
+    Bm, H = 3, 6  # B=3 exercises the batch pad path (Bp=8)
+    nx, nv, ndx = m.nq + m.nv, m.nv, 2 * m.nv
+    cost = ee_reaching_cost(m, jnp.array([0.3, 0.2, 0.6]))
+    q0 = jnp.array(rng.uniform(-0.3, 0.3, (Bm, m.nq)))
+    x0 = jnp.concatenate([q0, jnp.zeros((Bm, nv))], -1)
+    from rbdtpu.solver.ddp import _step_plain
+
+    U = 0.1 * jnp.array(rng.standard_normal((Bm, H, nv)))
+    Xs = [x0]
+    for t in range(H):
+        Xs.append(_step_plain(m, Xs[-1], U[:, t], 0.01, -9.81))
+    X = jnp.stack(Xs, axis=1)
+    k = 0.05 * jnp.array(rng.standard_normal((Bm, H, nv)))
+    K = 0.05 * jnp.array(rng.standard_normal((Bm, H, nv, ndx)))
+    alphas = jnp.array([1.0, 0.5, 0.25])
+    u_clip = m.u_limit_vector()
+    for clip in (None, u_clip):
+        X_j, U_j, J_j = forward_pass(m, cost, X, U, k, K, alphas, 0.01,
+                                     -9.81, u_clip=clip)
+        # nchunks=3: cw=5, ndx_p=15 > ndx=14 -> padded K rows; nchunks=99
+        # exercises the renormalization to <= ndx nonempty chunks
+        for c in (1, 2, 3, 99):
+            X_c, U_c, J_c = forward_pass_fused(
+                m, cost, X, U, k, K, alphas, 0.01, -9.81, u_clip=clip,
+                nchunks=c,
+            )
+            np.testing.assert_allclose(np.asarray(U_c), np.asarray(U_j),
+                                       atol=1e-9)
+            np.testing.assert_allclose(np.asarray(X_c), np.asarray(X_j),
+                                       atol=1e-9)
+            np.testing.assert_allclose(np.asarray(J_c), np.asarray(J_j),
+                                       rtol=1e-9)
+
+
+def test_chunked_feedback_quat_root(quadruped12quat, rng):
+    """Chunked-K feedback on the QUATERNION root: the per-chunk recomputed
+    manifold tangent diff must equal the unchunked kernel's."""
+    from rbdtpu.solver.ddp import forward_pass, forward_pass_fused
+    from rbdtpu.solver import ee_reaching_cost
+    from rbdtpu.solver.integrate import config_retract
+
+    m = quadruped12quat
+    Bm, H = 2, 4
+    nv, ndx = m.nv, 2 * m.nv
+    cost = ee_reaching_cost(m, jnp.array([0.2, 0.1, 0.3]))
+    q0 = jnp.zeros((Bm, m.nq)).at[:, 2].set(0.35).at[:, 3].set(1.0)
+    q0 = config_retract(
+        m, q0, 0.05 * jnp.array(rng.standard_normal((Bm, nv)))
+    )
+    x0 = jnp.concatenate([q0, jnp.zeros((Bm, nv))], -1)
+    from rbdtpu.solver.ddp import _step_plain
+
+    U = 0.1 * jnp.array(rng.standard_normal((Bm, H, nv)))
+    Xs = [x0]
+    for t in range(H):
+        Xs.append(_step_plain(m, Xs[-1], U[:, t], 0.01, -9.81))
+    X = jnp.stack(Xs, axis=1)
+    k = 0.05 * jnp.array(rng.standard_normal((Bm, H, nv)))
+    K = 0.05 * jnp.array(rng.standard_normal((Bm, H, nv, ndx)))
+    alphas = jnp.array([1.0, 0.25])
+    X_j, U_j, J_j = forward_pass(m, cost, X, U, k, K, alphas, 0.01, -9.81)
+    X_c, U_c, J_c = forward_pass_fused(
+        m, cost, X, U, k, K, alphas, 0.01, -9.81, nchunks=4
+    )
+    np.testing.assert_allclose(np.asarray(U_c), np.asarray(U_j), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(X_c), np.asarray(X_j), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(J_c), np.asarray(J_j), rtol=1e-9)
+
+
 def test_fused_feedback_forward_pass_matches_jnp(arm7, rng):
     """The packed feedback-rollout kernel (feedback law fused into the
     dynamics step, zero per-step layout ops) produces EXACTLY the jnp

@@ -47,23 +47,34 @@ def timed(name, fn, *args, reps=20, calls=4):
     captured concrete arrays embed in the HLO as constants and at benchmark
     sizes blow the remote-compile request limit (HTTP 413 on the tunnel)."""
 
-    def prog(*a):
-        def body(_, __):
-            out = fn(*a)
+    def perturb(x, eps):
+        if isinstance(x, jax.Array) and jnp.issubdtype(x.dtype, jnp.floating):
+            return x + eps.astype(x.dtype)
+        return x
+
+    def prog(eps_seq, *a):
+        # eps_seq is a RUNTIME (reps,) zeros array: adding eps_t to every
+        # float input makes each iteration's operands distinct to XLA, so
+        # the loop body cannot be hoisted out of the scan as loop-invariant
+        # (observed: an invariant body collapses the measurement to
+        # cost/reps — e.g. a 0.005 ms "linearize" at quadruped size)
+        def body(_, eps):
+            out = fn(*jax.tree.map(lambda x: perturb(x, eps), a))
             return _, jax.tree.map(
                 lambda x: x.reshape(-1)[0].astype(jnp.float32), out
             )
 
-        return jax.lax.scan(body, 0, None, length=reps)[1]
+        return jax.lax.scan(body, 0, eps_seq)[1]
 
     f = jax.jit(prog)
+    eps = jnp.zeros((reps,), jnp.float32)
     t0 = time.perf_counter()
-    jax.block_until_ready(f(*args))
+    jax.block_until_ready(f(eps, *args))
     compile_s = time.perf_counter() - t0
     best = float("inf")
     for _ in range(calls):
         t0 = time.perf_counter()
-        jax.block_until_ready(f(*args))
+        jax.block_until_ready(f(eps, *args))
         best = min(best, time.perf_counter() - t0)
     per = best / reps
     print(f"{name:12s} {per * 1e3:8.3f} ms/exec   (compile {compile_s:.1f}s)")
