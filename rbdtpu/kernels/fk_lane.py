@@ -20,8 +20,9 @@ Here ONE Pallas kernel per batch tile computes, entirely in VMEM:
     matmuls never touch the MXU-hostile (B, n, m) batched-dot path.
 
 Outputs are UNWEIGHTED (e, g0, H0); the cost applies its stage/terminal
-weights as fusible XLA elementwise ops.  Fixed-base models (the reaching
-benchmark class); floating-base costs keep the jnp path.
+weights as fusible XLA elementwise ops.  Fixed-base AND rpy-root
+floating-base models (the root contributes 6 geometric columns);
+quaternion-root costs keep the tangent-space jnp path.
 """
 from __future__ import annotations
 
@@ -104,7 +105,12 @@ def ee_chain_lane(ms: ModelStatic, q_s, jid: int, fid, offset):
     """World EE position + per-chain (axis, origin) on lane scalars.
 
     q_s: list of n lane scalars.  Returns (p_ee 3-list, cols list of
-    (vel_index, 3-list dp/dq))."""
+    (vel_index, 3-list dp/dq)).  Floating rpy root: the 6 root columns come
+    from the same geometric method — translation columns are the static
+    world basis (through Ttree0's rotation), and the three Euler columns are
+    chained-revolute axes a_y = ez, a_p = Rz ey, a_r = Rz Ry ex crossed with
+    (p_ee - o_root) (exactly kinematics.fk._root_hom_derivs applied to the
+    position rows)."""
     if ms.Ttree is None:
         raise ValueError("model host_data lacks Ttree; rebuild with "
                          "rbdtpu.model.make_model")
@@ -118,8 +124,37 @@ def ee_chain_lane(ms: ModelStatic, q_s, jid: int, fid, offset):
 
     R = [[1.0 if i == j else 0.0 for j in range(3)] for i in range(3)]
     p = [0.0, 0.0, 0.0]
-    joints = []  # (k, a_world, o_world)
+    entries = []  # (vel_index, is_translation, a_world, o_world)
     for k in chain:
+        if ms.fb and k == 0:
+            if ms.quat:
+                raise ValueError(
+                    "ee_chain_lane covers fixed-base and rpy-root models"
+                )
+            # T0 = Ttree0 @ [[Rz(y)Ry(p)Rx(r), xyz], [0, 1]]
+            Tt = ms.Ttree[0]
+            Rt = _mat3_static([row[:3] for row in Tt])
+            pt = [Tt[i][3] for i in range(3)]
+            xyz = [q_s[0], q_s[1], q_s[2]]
+            sr, cr = jnp.sin(q_s[3]), jnp.cos(q_s[3])
+            sp_, cp_ = jnp.sin(q_s[4]), jnp.cos(q_s[4])
+            sy, cy = jnp.sin(q_s[5]), jnp.cos(q_s[5])
+            Rx = _rodrigues((1.0, 0.0, 0.0), sr, cr)
+            Ry = _rodrigues((0.0, 1.0, 0.0), sp_, cp_)
+            Rz = _rodrigues((0.0, 0.0, 1.0), sy, cy)
+            o_root = _v3add(_m3v(Rt, xyz), pt)
+            p = o_root
+            RtRz = _m3m(Rt, Rz)
+            RtRzRy = _m3m(RtRz, Ry)
+            R = _m3m(RtRzRy, Rx)
+            for t in range(3):
+                entries.append((t, True, [Rt[i][t] for i in range(3)], None))
+            entries.append((3, False, [RtRzRy[i][0] for i in range(3)],
+                            o_root))
+            entries.append((4, False, [RtRz[i][1] for i in range(3)],
+                            o_root))
+            entries.append((5, False, [Rt[i][2] for i in range(3)], o_root))
+            continue
         Tt = ms.Ttree[k]
         Rt = [[Tt[i][j] for j in range(3)] for i in range(3)]
         pt = [Tt[i][3] for i in range(3)]
@@ -130,10 +165,11 @@ def ee_chain_lane(ms: ModelStatic, q_s, jid: int, fid, offset):
         if ms.jtype[k] == PRISMATIC:
             p = _v3add(p, [ls._mul(qk, a) for a in a_world])
             R = R1
+            entries.append((ms.vi(k), True, a_world, None))
         else:
             s, c = jnp.sin(qk), jnp.cos(qk)
             R = _m3m(R1, _rodrigues(ms.axis[k], s, c))
-        joints.append((k, a_world, p))
+            entries.append((ms.vi(k), False, a_world, p))
     if fid is not None:
         Tf = ms.T_fixed[fid]
         Rf = [[Tf[i][j] for j in range(3)] for i in range(3)]
@@ -143,12 +179,12 @@ def ee_chain_lane(ms: ModelStatic, q_s, jid: int, fid, offset):
     off = [float(o) for o in offset[:3]]
     p_ee = _v3add(p, _m3v(R, off))
     cols = []
-    for k, a_world, o_world in joints:
-        if ms.jtype[k] == PRISMATIC:
+    for vi, is_trans, a_world, o_world in entries:
+        if is_trans:
             col = list(a_world)
         else:
             col = _v3cross(a_world, _v3sub(p_ee, o_world))
-        cols.append((ms.vi(k), col))
+        cols.append((vi, col))
     return p_ee, cols
 
 
@@ -159,13 +195,14 @@ def ee_gn_fused(model: RobotModel, q, target, *, ee_names=None,
     (e (B, 3), g0 (B, n), H0 (B, n, n)) with e = p_ee(q) - target,
     g0 = J^T e, H0 = J^T J (position Jacobian).  Single end effector
     (ee_names None = the model's single leaf; multi-EE callers loop).
-    Fixed-base models.
+    Fixed-base and rpy-root floating-base models (quat root excluded —
+    its pose derivatives live in the solver's tangent chart).
 
     ``gn=False``: position error only — returns (e, None, None) and skips
     the Jacobian/Hessian outputs entirely (the rollout cost-evaluation path,
     where writing (n, n) per state would octuple the HBM traffic)."""
-    if model.floating_base:
-        raise ValueError("ee_gn_fused covers fixed-base models")
+    if model.floating_base and model.root_quat:
+        raise ValueError("ee_gn_fused covers fixed-base and rpy-root models")
     ms = get_static(model)
     n = ms.nv
     C = _pad8(n)
@@ -269,7 +306,7 @@ def ee_gn_fused(model: RobotModel, q, target, *, ee_names=None,
 def ee_gn_fused_ok(model: RobotModel, flat_batch: int,
                    dtype=jnp.float32) -> bool:
     """Static + compile-probe gate for ee_gn_fused (kernels.probe)."""
-    if model.floating_base or not model.host_data:
+    if (model.floating_base and model.root_quat) or not model.host_data:
         return False
     if dict(model.host_data).get("Ttree") is None:
         return False

@@ -25,7 +25,13 @@ import jax.numpy as jnp
 
 from ..model.robot import RobotModel
 from ..dynamics.xforms import joint_transforms_hom, q_per_joint
-from ..spatial.transforms import joint_hom_dT, joint_hom_d2T
+from ..spatial.transforms import (
+    joint_hom_dT,
+    joint_hom_d2T,
+    rot_axis,
+    drot_axis,
+    d2rot_axis,
+)
 
 
 def fk_world_hom(model: RobotModel, q):
@@ -121,6 +127,84 @@ def _chain_transforms(model: RobotModel, q, jid: int, fid: Optional[int]):
     return chain, T, dT, d2T, prefix, suffix
 
 
+def _hom_R_block(M):
+    """Embed a (..., 3, 3) block as [[M, 0], [0, 0]] (4x4)."""
+    z = jnp.zeros(M.shape[:-2] + (3, 1), M.dtype)
+    top = jnp.concatenate([M, z], -1)
+    bot = jnp.zeros(M.shape[:-2] + (1, 4), M.dtype)
+    return jnp.concatenate([top, bot], -2)
+
+
+def _root_hom_derivs(model: RobotModel, q):
+    """Exact first/second derivatives of the rpy floating root's homogeneous
+    transform T0 = Ttree0 @ [[R(rpy), xyz], [0, 1]] wrt the 6 root
+    coordinates [x, y, z, roll, pitch, yaw] (R = Rz(y) Ry(p) Rx(r),
+    spatial.transforms.rpy_to_R).
+
+    The generic per-joint derivative tables (joint_hom_dT/d2T) treat every
+    non-prismatic joint as 1-DoF revolute, which is wrong for the 6-DoF root
+    — this supplies the root's derivative columns for ee_pose_gradient /
+    ee_pose_hessian on floating-base models (the reference's EE derivative
+    stack, RBDReference.py:286-527, has no floating-base support at all).
+
+    Returns (dT0 list[6] of (..., 4, 4), d2T0 dict[(i, j) i<=j] -> (...,4,4)).
+    Translation rows: dT0[t] = Ttree0 @ [[0, e_t], [0, 0]]; all second
+    derivatives involving a translation vanish (T0 is affine in xyz).
+    """
+    dtype = q.dtype
+    r, p, y = q[..., 3], q[..., 4], q[..., 5]
+    ex, ey, ez = (jnp.array(v, dtype)
+                  for v in ((1, 0, 0), (0, 1, 0), (0, 0, 1)))
+    Rx, Ry, Rz = rot_axis(ex, r), rot_axis(ey, p), rot_axis(ez, y)
+    dRx, dRy, dRz = drot_axis(ex, r), drot_axis(ey, p), drot_axis(ez, y)
+    d2Rx, d2Ry, d2Rz = d2rot_axis(ex, r), d2rot_axis(ey, p), d2rot_axis(ez, y)
+    Tt = model.Ttree[0].astype(dtype)
+
+    batch = Rx.shape[:-2]
+    dT0 = []
+    for t in range(3):
+        D = jnp.zeros(batch + (4, 4), dtype).at[..., t, 3].set(1.0)
+        dT0.append(Tt @ D)
+    dR = {3: Rz @ Ry @ dRx, 4: Rz @ dRy @ Rx, 5: dRz @ Ry @ Rx}
+    for c in (3, 4, 5):
+        dT0.append(Tt @ _hom_R_block(dR[c]))
+
+    d2R = {
+        (3, 3): Rz @ Ry @ d2Rx,
+        (3, 4): Rz @ dRy @ dRx,
+        (3, 5): dRz @ Ry @ dRx,
+        (4, 4): Rz @ d2Ry @ Rx,
+        (4, 5): dRz @ dRy @ Rx,
+        (5, 5): d2Rz @ Ry @ Rx,
+    }
+    zero4 = jnp.zeros(batch + (4, 4), dtype)
+    d2T0 = {}
+    for i in range(6):
+        for j in range(i, 6):
+            if i < 3 or j < 3:
+                d2T0[(i, j)] = zero4
+            else:
+                d2T0[(i, j)] = Tt @ _hom_R_block(d2R[(i, j)])
+    return dT0, d2T0
+
+
+def _check_fb_chain(model: RobotModel, chain):
+    """Static root-handling dispatch for the EE derivative sweeps: True when
+    the chain starts at a floating rpy root (handled analytically); raises
+    for the quaternion root (whose pose derivatives live in the solver's
+    tangent chart, not configuration coordinates — use AD in tangent space,
+    solver.costs.quadratize_trajectory)."""
+    if not (model.floating_base and chain[0] == 0):
+        return False
+    if model.root_quat:
+        raise ValueError(
+            "ee_pose_gradient/hessian cover fixed-base and rpy-root models; "
+            "the quaternion root's pose derivatives are chart-dependent — "
+            "differentiate in the solver tangent space instead"
+        )
+    return True
+
+
 def _datan2(y, x, yp, xp):
     """d/dz atan2(y(z), x(z)) (reference :328-329)."""
     return (-xp * y + x * yp) / (x * x + y * y)
@@ -143,16 +227,27 @@ def _dpose_cols(T, dT, offset):
 def ee_pose_gradient(model: RobotModel, q, ee_names=None, offset=None):
     """Analytic d(pose)/dq: (..., nq) -> (..., n_ee, 6, nv).
 
-    Columns for joints off the EE's chain are zero (reference :356-359)."""
+    Columns for joints off the EE's chain are zero (reference :356-359).
+    Floating rpy root: the 6 root columns use the exact root-transform
+    derivatives (_root_hom_derivs) — beyond the reference's fixed-base-only
+    scope."""
     offset = _default_offset(model) if offset is None else offset
     n = model.nv
     grads = []
     for jid, fid in _resolve_ee(model, ee_names):
         chain, T, dT, d2T, prefix, suffix = _chain_transforms(model, q, jid, fid)
+        fb_root = _check_fb_chain(model, chain)
         Tw = prefix[-1] @ T[..., chain[-1], :, :] @ suffix[-1]
         batch = Tw.shape[:-2]
         G = jnp.zeros(batch + (6, n), Tw.dtype)
+        if fb_root:
+            dT0, _ = _root_hom_derivs(model, q)
+            for c in range(6):
+                dTw = dT0[c] @ suffix[0]
+                G = G.at[..., :, c].set(_dpose_cols(Tw, dTw, offset))
         for idx, k in enumerate(chain):
+            if fb_root and idx == 0:
+                continue
             dTw = prefix[idx] @ dT[..., k, :, :] @ suffix[idx]
             col = _dpose_cols(Tw, dTw, offset)
             G = G.at[..., :, model.v_index(k)].set(col)
@@ -205,42 +300,62 @@ def _d2pose_cols(T, dTi, dTj, d2T, offset, same):
 def ee_pose_hessian(model: RobotModel, q, ee_names=None, offset=None):
     """Analytic d2(pose)/dq2: (..., nq) -> (..., n_ee, 6, nv, nv).
 
-    Entries where either index is off the EE chain are zero (reference :478)."""
+    Entries where either index is off the EE chain are zero (reference :478).
+    Floating rpy root: root-root and root-joint blocks use the exact root
+    second derivatives (_root_hom_derivs)."""
     offset = _default_offset(model) if offset is None else offset
     n = model.nv
     hessians = []
     for jid, fid in _resolve_ee(model, ee_names):
         chain, T, dT, d2T, prefix, suffix = _chain_transforms(model, q, jid, fid)
-        depth = len(chain)
+        fb_root = _check_fb_chain(model, chain)
         Tw = prefix[-1] @ T[..., chain[-1], :, :] @ suffix[-1]
         batch = Tw.shape[:-2]
         Hs = jnp.zeros(batch + (6, n, n), Tw.dtype)
-        # first derivatives per chain position
-        dTw = [
-            prefix[idx] @ dT[..., chain[idx], :, :] @ suffix[idx]
-            for idx in range(depth)
-        ]
+        # derivative SLOTS (vi, chain_pos, local dT): one per 1-DoF joint,
+        # six for the floating root (all at chain position 0)
+        slots = []
+        if fb_root:
+            dT0, d2T0 = _root_hom_derivs(model, q)
+            for c in range(6):
+                slots.append((c, 0, dT0[c]))
+        for idx, k in enumerate(chain):
+            if fb_root and idx == 0:
+                continue
+            slots.append((model.v_index(k), idx, dT[..., k, :, :]))
+        dTw = [prefix[pos] @ dloc @ suffix[pos] for _, pos, dloc in slots]
+
+        def _d2local(si, sj):
+            """Local second-derivative block for two slots at the SAME chain
+            position — only the root qualifies (joints are 1-DoF)."""
+            ci, cj = slots[si][0], slots[sj][0]
+            if fb_root and slots[si][1] == 0:
+                return d2T0[(min(ci, cj), max(ci, cj))]
+            return d2T[..., chain[slots[si][1]], :, :]
+
         # mid-segment products between chain positions i < j:
         # M = T_{chain[i+1]} ... T_{chain[j-1]} (identity when j == i+1),
         # maintained incrementally along the inner loop.
         eye = jnp.broadcast_to(jnp.eye(4, dtype=Tw.dtype), Tw.shape)
-        for ii in range(depth):
-            ki = chain[ii]
-            vi = model.v_index(ki)
-            # diagonal term: second derivative of one joint
-            d2Tw = prefix[ii] @ d2T[..., ki, :, :] @ suffix[ii]
-            col = _d2pose_cols(Tw, dTw[ii], dTw[ii], d2Tw, offset, same=True)
+        for si, (vi, pi, dli) in enumerate(slots):
+            d2Tw = prefix[pi] @ _d2local(si, si) @ suffix[pi]
+            col = _d2pose_cols(Tw, dTw[si], dTw[si], d2Tw, offset, same=True)
             Hs = Hs.at[..., :, vi, vi].set(col)
-            # off-diagonal terms ii < jj
-            pre_d = prefix[ii] @ dT[..., ki, :, :]
+            pre_d = prefix[pi] @ dli
             M = eye
-            for jj in range(ii + 1, depth):
-                kj = chain[jj]
-                vj = model.v_index(kj)
-                d2Tw = pre_d @ M @ dT[..., kj, :, :] @ suffix[jj]
-                col = _d2pose_cols(Tw, dTw[ii], dTw[jj], d2Tw, offset, same=False)
+            last = pi
+            for sj in range(si + 1, len(slots)):
+                vj, pj, dlj = slots[sj]
+                if pj == pi:  # root-root pair
+                    d2Tw = prefix[pi] @ _d2local(si, sj) @ suffix[pi]
+                else:
+                    while last < pj - 1:
+                        last += 1
+                        M = M @ T[..., chain[last], :, :]
+                    d2Tw = pre_d @ M @ dlj @ suffix[pj]
+                col = _d2pose_cols(Tw, dTw[si], dTw[sj], d2Tw, offset,
+                                   same=False)
                 Hs = Hs.at[..., :, vi, vj].set(col)
                 Hs = Hs.at[..., :, vj, vi].set(col)
-                M = M @ T[..., kj, :, :]
         hessians.append(Hs)
     return jnp.stack(hessians, axis=-4)

@@ -149,10 +149,11 @@ def ee_reaching_cost(
 
     ``fused``: run the FK + Gauss-Newton terms as ONE Pallas kernel in the
     colvec layout (kernels.fk_lane — the quadratization was ~1/3 of the arm
-    MPC iteration on the jnp path).  None = auto: on for fixed-base models
-    on TPU when the flattened knot batch packs (compile-probe gated); the
-    geometric-Jacobian kernel equals the analytic chain derivative to
-    roundoff.
+    MPC iteration on the jnp path).  None = auto: on for fixed-base and
+    rpy-root floating-base models on TPU when the flattened knot batch packs
+    (compile-probe gated); the geometric-Jacobian kernel equals the analytic
+    chain derivative to roundoff.  Quaternion-root models quadratize by
+    tangent-space AD (stage_derivs=None).
     """
     import numpy as _np
 
@@ -167,7 +168,7 @@ def ee_reaching_cost(
     fused_requested = fused
 
     def _fused_on(flat_batch, dtype):
-        if model.floating_base or _tgt_static is None:
+        if (model.floating_base and model.root_quat) or _tgt_static is None:
             return False
         if fused_requested is False:
             return False
@@ -261,6 +262,12 @@ def ee_reaching_cost(
         g_q, H_qq = _ee_terms(x, w_ee_f)
         return _assemble(g_q, H_qq, w_qd_f * x[..., nq:], w_qd_f, x)
 
+    if model.floating_base and model.root_quat:
+        # quaternion root: the analytic Gauss-Newton terms above live in
+        # configuration coordinates (nq != the solver's 2*nv tangent dims);
+        # let quadratize_trajectory's tangent-space AD fallback differentiate
+        # through state_retract instead
+        return Cost(stage, terminal, None, None)
     return Cost(stage, terminal, stage_derivs, terminal_derivs)
 
 

@@ -574,3 +574,41 @@ def test_ee_gn_fused_matches_analytic(arm7, rng):
         float(trajectory_cost(c_f, X[None], U[None])[0]),
         float(trajectory_cost(c_j, X[None], U[None])[0]), rtol=1e-12,
     )
+
+
+def test_ee_gn_fused_floating_base(quadruped12fb, rng):
+    """ee_gn_fused on the rpy FLOATING ROOT: the kernel's 6 geometric root
+    columns (static translation basis + chained-revolute Euler axes) equal
+    the analytic fb FK Jacobian (kinematics.fk._root_hom_derivs path), and
+    the fused fb ee_reaching_cost quadratization equals the jnp one."""
+    from rbdtpu.kernels.fk_lane import ee_gn_fused
+    from rbdtpu.kinematics.fk import ee_pose, ee_pose_gradient
+    from rbdtpu.solver import ee_reaching_cost
+    from rbdtpu.solver.costs import quadratize_trajectory
+
+    m = quadruped12fb
+    ee = [m.joint_names[m.leaves()[0]]]
+    Bq = 8
+    q = jnp.array(rng.uniform(-0.5, 0.5, (Bq, m.nq)))
+    tgt = (0.2, 0.1, 0.3)
+    e, g0, H0 = ee_gn_fused(m, q, tgt, ee_names=ee)
+    pos = ee_pose(m, q, ee_names=ee)[..., 0, :3]
+    e_ref = pos - jnp.array(tgt)
+    J = ee_pose_gradient(m, q, ee_names=ee)[..., 0, :3, :]
+    np.testing.assert_allclose(np.asarray(e), np.asarray(e_ref), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(g0),
+        np.asarray(jnp.einsum("...ri,...r->...i", J, e_ref)), atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(H0),
+        np.asarray(jnp.einsum("...ri,...rj->...ij", J, J)), atol=1e-12,
+    )
+    H = 3
+    X = jnp.array(rng.uniform(-0.4, 0.4, (H + 1, m.nq + m.nv)))
+    U = jnp.array(rng.uniform(-1, 1, (H, m.nv)))
+    c_f = ee_reaching_cost(m, jnp.array(tgt), ee_names=ee, fused=True)
+    c_j = ee_reaching_cost(m, jnp.array(tgt), ee_names=ee, fused=False)
+    for a, b in zip(quadratize_trajectory(c_f, X, U),
+                    quadratize_trajectory(c_j, X, U)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)

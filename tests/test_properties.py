@@ -147,6 +147,36 @@ def test_ee_fk_derivatives_match_ad(arm7, rng):
     np.testing.assert_allclose(np.asarray(H), np.asarray(H_ad), atol=1e-12)
 
 
+def test_ee_fk_derivatives_floating_base(quadruped12fb, quadruped12quat, rng):
+    """FK gradient/Hessian on the rpy FLOATING ROOT are exact vs AD (the
+    6 root columns use the analytic root-transform derivatives,
+    fk._root_hom_derivs — the generic per-joint tables treat the 6-DoF root
+    as revolute and would be silently wrong; the reference's EE derivative
+    stack has no floating-base support at all, RBDReference.py:286-527).
+    The quaternion root must raise (chart-dependent derivatives)."""
+    from rbdtpu.kinematics import fk
+
+    m = quadruped12fb
+    ee = [m.joint_names[m.leaves()[0]]]
+    q = jnp.array(rng.uniform(-0.6, 0.6, m.nq))
+    G = fk.ee_pose_gradient(m, q, ee_names=ee)
+    G_ad = jax.jacfwd(lambda qq: fk.ee_pose(m, qq, ee_names=ee))(q)
+    np.testing.assert_allclose(np.asarray(G), np.asarray(G_ad), atol=1e-12)
+    H = fk.ee_pose_hessian(m, q, ee_names=ee)
+    H_ad = jax.jacfwd(
+        jax.jacfwd(lambda qq: fk.ee_pose(m, qq, ee_names=ee))
+    )(q)
+    np.testing.assert_allclose(np.asarray(H), np.asarray(H_ad), atol=1e-12)
+
+    mq = quadruped12quat
+    qq0 = jnp.zeros(mq.nq).at[3].set(1.0)
+    eeq = [mq.joint_names[mq.leaves()[0]]]
+    import pytest
+
+    with pytest.raises(ValueError, match="tangent"):
+        fk.ee_pose_gradient(mq, qq0, ee_names=eeq)
+
+
 def test_gravity_zero_free_fall(model, rng):
     """With tau=0, qd=0 and g=0 every joint acceleration vanishes."""
     q, _, _ = random_state(rng, model)
