@@ -486,7 +486,8 @@ def test_probe_failure_degrades_gracefully(arm7, rng, monkeypatch):
     from rbdtpu.solver import DDPConfig, ddp_solve, quadratic_tracking_cost
 
     monkeypatch.setenv(
-        "RBDTPU_PROBE_FAIL", "feedback_rollout,colvec_linearize,riccati_backward"
+        "RBDTPU_PROBE_FAIL",
+        "feedback_rollout,feedback_chunked,colvec_linearize,riccati_backward",
     )
     probe.clear()
     try:
@@ -505,6 +506,31 @@ def test_probe_failure_degrades_gracefully(arm7, rng, monkeypatch):
                             fused_linearize=False, fused_riccati=False)
         st_ref, _ = ddp_solve(arm7, cost, x0, U0, cfg_jnp)
         np.testing.assert_array_equal(np.asarray(st.U), np.asarray(st_ref.U))
+    finally:
+        probe.clear()
+
+    # TIER degradation: only the unchunked feedback kernel fails -> the
+    # solver falls back to the CHUNKED-K kernel (not all the way to jnp)
+    # and still matches the jnp solve to roundoff
+    monkeypatch.setenv("RBDTPU_PROBE_FAIL", "feedback_rollout")
+    probe.clear()
+    try:
+        from rbdtpu.kernels.fused import feedback_chunked_ok
+
+        assert not feedback_fused_ok(arm7, 64)
+        assert feedback_chunked_ok(arm7, 64) is not None
+
+        H = 8
+        cost = quadratic_tracking_cost(arm7, jnp.zeros(arm7.nx))
+        x0 = jnp.array(rng.uniform(-0.5, 0.5, arm7.nx))
+        U0 = jnp.zeros((H, arm7.nv))
+        st, _ = ddp_solve(arm7, cost, x0, U0, DDPConfig(iters=3, fused=True))
+        st_ref, _ = ddp_solve(
+            arm7, cost, x0, U0,
+            DDPConfig(iters=3, fused=True, fused_feedback=False),
+        )
+        np.testing.assert_allclose(np.asarray(st.U), np.asarray(st_ref.U),
+                                   atol=1e-9)
     finally:
         probe.clear()
 
