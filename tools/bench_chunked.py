@@ -4,8 +4,9 @@ LARGE-BATCH humanoid DDP config — the regime feedback_fused_ok rejects
 batch_total >= 1024) and feedback_rollout_fused_chunked exists for
 (VERDICT r2 next #7).
 
-Usage: python tools/bench_chunked.py [Bm] [H] [iters]  (defaults 256 32 4)
-One TPU process at a time (CLAUDE.md); min-over-batches inside one jit.
+Usage: python tools/bench_chunked.py [Bm] [H] [iters] [which]
+(defaults 256 32 4 both; which in {jnp, fused, both} reruns one arm alone
+— humanoid compiles through the tunnel run ~30 min each)
 """
 import sys
 import time
@@ -47,7 +48,10 @@ def main():
           f"{feedback_fused_ok(model, bt)} "
           f"chunked={feedback_chunked_ok(model, bt)}", flush=True)
 
-    for name, fb in (("jnp", False), ("fused-auto", None)):
+    which = sys.argv[4] if len(sys.argv) > 4 else "both"
+    arms = {"jnp": [("jnp", False)], "fused": [("fused-auto", None)],
+            "both": [("jnp", False), ("fused-auto", None)]}[which]
+    for name, fb in arms:
         cfg = DDPConfig(iters=iters, dt=0.01, n_alphas=4, fused=True,
                         fused_feedback=fb)
         f = jax.jit(lambda x, U, c=cfg: ddp_solve(model, cost, x, U, c)[0].J)
