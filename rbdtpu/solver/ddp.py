@@ -84,8 +84,11 @@ class DDPConfig:
     exact_hessians: bool = False
     # fused feedback-rollout line search (kernels.feedback_rollout_fused):
     # None = auto (on whenever ``fused`` and the packed K gain blocks fit
-    # VMEM — kernels.fused.feedback_fused_ok); False = force the jnp
-    # forward pass (used by equivalence tests)
+    # VMEM — kernels.fused.feedback_fused_ok); True = additionally allow the
+    # chunked-K tier when the unchunked kernel doesn't fit (measured SLOWER
+    # than the jnp pass at large-batch humanoid — 857.7 vs 881.1 solves/s at
+    # Bm=256/H=32 — hence opt-in); False = force the jnp forward pass (used
+    # by equivalence tests)
     fused_feedback: bool | None = None
     # fused lane-scalar Riccati backward sweep (kernels.riccati): True =
     # on (iLQR branch only, arm-class nx, batch fits — riccati_fused_ok);
@@ -422,9 +425,12 @@ def ddp_solve(
     # lane layout, feedback law (tangent-space, incl. the quat-root manifold
     # diff) and the static effort-box clamp inside the dynamics kernel.
     # Large-batch humanoid-size K gain blocks (nv*2nv rows) exceed VMEM ->
-    # chunked-K variant (kernels.feedback_rollout_fused_chunked), and only
-    # if no chunking fits either -> jnp pass (kernels.fused.feedback_fused_ok
-    # / feedback_chunked_ok)
+    # jnp pass (kernels.fused.feedback_fused_ok), unless fused_feedback=True
+    # explicitly opts into the chunked-K tier
+    # (kernels.feedback_rollout_fused_chunked) — MEASURED at humanoid
+    # Bm=256/H=32: chunked 857.7 vs jnp 881.1 solves/s (BASELINE.md), so the
+    # extra per-knot kernel launches lose to XLA's batched jnp pass at large
+    # batch and auto mode stops at the unchunked kernel
     from ..kernels.fused import feedback_chunked_ok, feedback_fused_ok
 
     fwd_nchunks = None
@@ -433,8 +439,7 @@ def ddp_solve(
         and config.fused_feedback is not False
         and feedback_fused_ok(model, batch_flat * config.n_alphas, x0.dtype)
     )
-    if (not use_fused_fwd and config.fused
-            and config.fused_feedback is not False):
+    if not use_fused_fwd and config.fused and config.fused_feedback is True:
         fwd_nchunks = feedback_chunked_ok(
             model, batch_flat * config.n_alphas, x0.dtype
         )

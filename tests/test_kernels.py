@@ -509,9 +509,11 @@ def test_probe_failure_degrades_gracefully(arm7, rng, monkeypatch):
     finally:
         probe.clear()
 
-    # TIER degradation: only the unchunked feedback kernel fails -> the
-    # solver falls back to the CHUNKED-K kernel (not all the way to jnp)
-    # and still matches the jnp solve to roundoff
+    # TIER degradation: only the unchunked feedback kernel fails and the
+    # caller opts into the chunked tier (fused_feedback=True — measured
+    # slower than jnp at large batch, so auto stops at the unchunked
+    # kernel) -> the solver falls back to the CHUNKED-K kernel and still
+    # matches the jnp solve to roundoff
     monkeypatch.setenv("RBDTPU_PROBE_FAIL", "feedback_rollout")
     probe.clear()
     try:
@@ -524,7 +526,9 @@ def test_probe_failure_degrades_gracefully(arm7, rng, monkeypatch):
         cost = quadratic_tracking_cost(arm7, jnp.zeros(arm7.nx))
         x0 = jnp.array(rng.uniform(-0.5, 0.5, arm7.nx))
         U0 = jnp.zeros((H, arm7.nv))
-        st, _ = ddp_solve(arm7, cost, x0, U0, DDPConfig(iters=3, fused=True))
+        st, _ = ddp_solve(arm7, cost, x0, U0,
+                          DDPConfig(iters=3, fused=True,
+                                    fused_feedback=True))
         st_ref, _ = ddp_solve(
             arm7, cost, x0, U0,
             DDPConfig(iters=3, fused=True, fused_feedback=False),
