@@ -13,7 +13,9 @@ trajectory of the requested config):
   forward_f   solver.ddp.forward_pass_fused (when it applies)
   full_iter   one whole ddp iteration via ddp_solve(iters=1)
 
-Usage:  python tools/profile_mpc.py [arm7|quadruped12|humanoid30] [B] [H]
+Usage:  python tools/profile_mpc.py [arm7|quadruped12|humanoid30] [B] [H] [ee]
+(trailing "ee": use the EE-reaching cost — exercises the fused FK/GN cost
+kernel, incl. the rpy floating root — instead of quadratic tracking)
 """
 import sys
 import time
@@ -91,13 +93,17 @@ def main():
     model = load_asset(name, dtype=np.float32, floating_base=fb)
     print(f"model={name} nx={model.nq + model.nv} nv={model.nv} B={B} H={H} "
           f"devices={jax.devices()}")
+    use_ee = name == "arm7" or (len(sys.argv) > 4 and sys.argv[4] == "ee")
     cost_f = None
-    if name == "arm7":
+    if use_ee:
         ee_kw = dict(w_ee=10.0, w_ee_f=2000.0, w_u=1e-6, w_qd=1e-3,
                      w_qd_f=0.1)
         tgt = jnp.array([0.3, 0.2, 0.8], jnp.float32)
-        cost = ee_reaching_cost(model, tgt, fused=False, **ee_kw)
-        cost_f = ee_reaching_cost(model, tgt, fused=True, **ee_kw)
+        ee = (None if name == "arm7"
+              else [model.joint_names[model.leaves()[0]]])
+        cost = ee_reaching_cost(model, tgt, ee_names=ee, fused=False, **ee_kw)
+        cost_f = ee_reaching_cost(model, tgt, ee_names=ee, fused=True,
+                                  **ee_kw)
     else:
         goal = jnp.zeros(model.nq + model.nv, jnp.float32)
         cost = quadratic_tracking_cost(model, goal, w_q=2.0, w_qd=0.05,
