@@ -304,17 +304,22 @@ def ee_gn_fused(model: RobotModel, q, target, *, ee_names=None,
 
 
 def ee_gn_fused_ok(model: RobotModel, flat_batch: int,
-                   dtype=jnp.float32) -> bool:
-    """Static + compile-probe gate for ee_gn_fused (kernels.probe)."""
+                   dtype=jnp.float32, ee_names=None) -> bool:
+    """Static + compile-probe gate for ee_gn_fused (kernels.probe).
+
+    ``ee_names`` must match the caller's (the probe compiles the exact
+    chain — omitting it on a multi-leaf model makes the probe fail its
+    leaf resolution and permanently disables the fused path)."""
     if (model.floating_base and model.root_quat) or not model.host_data:
         return False
     if dict(model.host_data).get("Ttree") is None:
         return False
     from .probe import probe_ok
 
-    n = model.nv
+    n = int(model.nq)
     sds = jax.ShapeDtypeStruct((flat_batch, n), jnp.dtype(dtype))
-    fn = lambda q: ee_gn_fused(model, q, (0.1, 0.2, 0.3))
-    key = (model.parent, model.joint_type, flat_batch,
+    fn = lambda q: ee_gn_fused(model, q, (0.1, 0.2, 0.3), ee_names=ee_names)
+    key = (model.parent, model.joint_type, model.floating_base, flat_batch,
+           None if ee_names is None else tuple(ee_names),
            jnp.dtype(dtype).name)
     return probe_ok("ee_gn", key, fn, (sds,), on_tpu=_on_tpu())

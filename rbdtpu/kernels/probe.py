@@ -44,9 +44,15 @@ def probe_ok(name: str, key: tuple, fn, abstract_args, *,
 
     ``key`` memoizes the result (include every layout-determining datum).
     ``on_tpu=False`` short-circuits to True (interpret mode cannot OOM)
-    unless the test hook forces a failure.
+    unless the test hook forces a failure.  ``RBDTPU_PROBE_COMPILE`` makes
+    off-TPU probes actually compile (interpret-mode kernels) — the CPU-test
+    hook for trace-time probe bugs (e.g. a probe fn that mis-resolves the
+    model's EE chain would otherwise silently disable the fused path on
+    TPU only).
     """
     full_key = (name,) + key
+    if os.environ.get("RBDTPU_PROBE_COMPILE"):
+        on_tpu = True
     if _forced_fail(name):
         if full_key not in _cache:
             print(

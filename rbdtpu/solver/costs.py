@@ -179,7 +179,7 @@ def ee_reaching_cost(
 
             if not _on_tpu():
                 return False
-        return ee_gn_fused_ok(model, flat_batch, dtype)
+        return ee_gn_fused_ok(model, flat_batch, dtype, ee_names=ee_names)
 
     def _flat_q(x):
         q = x[..., :nq]

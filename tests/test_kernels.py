@@ -606,6 +606,29 @@ def test_ee_gn_fused_matches_analytic(arm7, rng):
     )
 
 
+def test_ee_gn_probe_resolves_ee_chain(quadruped12fb, monkeypatch):
+    """REGRESSION: the ee_gn compile probe must resolve the SAME EE chain as
+    the cost's actual call.  The gate used to omit ee_names, so on any
+    multi-leaf model (quadruped feet, humanoid hands) the probe raised
+    'ee_names required' and permanently disabled the fused path — on TPU
+    only, which is why interpret-mode tests never saw it.
+    RBDTPU_PROBE_COMPILE forces off-TPU probes to really compile."""
+    from rbdtpu.kernels import probe
+    from rbdtpu.kernels.fk_lane import ee_gn_fused_ok
+
+    m = quadruped12fb
+    ee = [m.joint_names[m.leaves()[0]]]
+    monkeypatch.setenv("RBDTPU_PROBE_COMPILE", "1")
+    probe.clear()
+    try:
+        assert ee_gn_fused_ok(m, 8, jnp.float64, ee_names=ee)
+        # no ee_names on a multi-leaf model -> the probe itself must fail
+        # (this is the exact signature of the regression)
+        assert not ee_gn_fused_ok(m, 8, jnp.float64)
+    finally:
+        probe.clear()
+
+
 def test_ee_gn_fused_floating_base(quadruped12fb, rng):
     """ee_gn_fused on the rpy FLOATING ROOT: the kernel's 6 geometric root
     columns (static translation basis + chained-revolute Euler axes) equal
