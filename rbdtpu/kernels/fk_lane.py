@@ -20,9 +20,10 @@ Here ONE Pallas kernel per batch tile computes, entirely in VMEM:
     matmuls never touch the MXU-hostile (B, n, m) batched-dot path.
 
 Outputs are UNWEIGHTED (e, g0, H0); the cost applies its stage/terminal
-weights as fusible XLA elementwise ops.  Fixed-base AND rpy-root
-floating-base models (the root contributes 6 geometric columns);
-quaternion-root costs keep the tangent-space jnp path.
+weights as fusible XLA elementwise ops.  ALL root types: the rpy root
+contributes 6 configuration-coordinate columns, the quaternion root 6
+body-twist TANGENT columns (solver chart — see
+kinematics.fk.ee_position_jacobian_tangent, the jnp twin).
 """
 from __future__ import annotations
 
@@ -127,23 +128,34 @@ def ee_chain_lane(ms: ModelStatic, q_s, jid: int, fid, offset):
     entries = []  # (vel_index, is_translation, a_world, o_world)
     for k in chain:
         if ms.fb and k == 0:
-            if ms.quat:
-                raise ValueError(
-                    "ee_chain_lane covers fixed-base and rpy-root models"
-                )
-            # T0 = Ttree0 @ [[Rz(y)Ry(p)Rx(r), xyz], [0, 1]]
             Tt = ms.Ttree[0]
             Rt = _mat3_static([row[:3] for row in Tt])
             pt = [Tt[i][3] for i in range(3)]
             xyz = [q_s[0], q_s[1], q_s[2]]
+            o_root = _v3add(_m3v(Rt, xyz), pt)
+            p = o_root
+            if ms.quat:
+                # quaternion root: derivative columns live in the SOLVER
+                # TANGENT chart (solver.integrate.config_retract — xi =
+                # [body rotation vec (rows 0..2); body translation (3..5)]):
+                # a_i = world images of the body axes (columns of Rt @ R(q)),
+                # rotation col = a_i x (p_ee - o_root), translation col = a_i
+                # (kinematics.fk.ee_position_jacobian_tangent, fused twin)
+                Rq = ls.quat_R(q_s[3], q_s[4], q_s[5], q_s[6])
+                R = _m3m(Rt, Rq)
+                for i in range(3):
+                    a_i = [R[r][i] for r in range(3)]
+                    entries.append((i, False, a_i, o_root))
+                    entries.append((3 + i, True, a_i, None))
+                continue
+            # rpy root: T0 = Ttree0 @ [[Rz(y)Ry(p)Rx(r), xyz], [0, 1]],
+            # configuration-coordinate columns
             sr, cr = jnp.sin(q_s[3]), jnp.cos(q_s[3])
             sp_, cp_ = jnp.sin(q_s[4]), jnp.cos(q_s[4])
             sy, cy = jnp.sin(q_s[5]), jnp.cos(q_s[5])
             Rx = _rodrigues((1.0, 0.0, 0.0), sr, cr)
             Ry = _rodrigues((0.0, 1.0, 0.0), sp_, cp_)
             Rz = _rodrigues((0.0, 0.0, 1.0), sy, cy)
-            o_root = _v3add(_m3v(Rt, xyz), pt)
-            p = o_root
             RtRz = _m3m(Rt, Rz)
             RtRzRy = _m3m(RtRz, Ry)
             R = _m3m(RtRzRy, Rx)
@@ -195,17 +207,19 @@ def ee_gn_fused(model: RobotModel, q, target, *, ee_names=None,
     (e (B, 3), g0 (B, n), H0 (B, n, n)) with e = p_ee(q) - target,
     g0 = J^T e, H0 = J^T J (position Jacobian).  Single end effector
     (ee_names None = the model's single leaf; multi-EE callers loop).
-    Fixed-base and rpy-root floating-base models (quat root excluded —
-    its pose derivatives live in the solver's tangent chart).
+    All root types: q is (B, nq) configuration coordinates; g0/H0 are in
+    the SOLVER chart — nq == nv columns for fixed-base/rpy models, 2*nv/2
+    = nv TANGENT columns for the quaternion root (body-twist chart of
+    solver.integrate.config_retract).
 
     ``gn=False``: position error only — returns (e, None, None) and skips
     the Jacobian/Hessian outputs entirely (the rollout cost-evaluation path,
     where writing (n, n) per state would octuple the HBM traffic)."""
-    if model.floating_base and model.root_quat:
-        raise ValueError("ee_gn_fused covers fixed-base and rpy-root models")
     ms = get_static(model)
-    n = ms.nv
+    n = ms.nv       # tangent/output dim
+    n_in = ms.nq    # configuration input rows (nv + 1 for the quat root)
     C = _pad8(n)
+    C_in = _pad8(n_in)
     dtype = q.dtype
     B = q.shape[-2]
     if interpret is None:
@@ -237,7 +251,7 @@ def ee_gn_fused(model: RobotModel, q, target, *, ee_names=None,
             e_ref, g_ref, h_ref = outs
         else:
             (e_ref,) = outs
-        q_s = [q_ref[i : i + 1, :] for i in range(n)]
+        q_s = [q_ref[i : i + 1, :] for i in range(n_in)]
         p_ee, cols = ee_chain_lane(ms, q_s, jid, fid, offset)
         e = [ls._add(p_ee[r], -tgt[r]) for r in range(3)]
         full = lambda x: (
@@ -290,11 +304,11 @@ def ee_gn_fused(model: RobotModel, q, target, *, ee_names=None,
     outs = pl.pallas_call(
         kernel,
         grid=(nblocks,),
-        in_specs=[spec2(C)],
+        in_specs=[spec2(C_in)],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(pack(q, n, C))
+    )(pack(q, n_in, C_in))
     e = jnp.swapaxes(outs[0], 0, 1)[:B, :3]
     if not gn:
         return e, None, None
@@ -310,7 +324,7 @@ def ee_gn_fused_ok(model: RobotModel, flat_batch: int,
     ``ee_names`` must match the caller's (the probe compiles the exact
     chain — omitting it on a multi-leaf model makes the probe fail its
     leaf resolution and permanently disables the fused path)."""
-    if (model.floating_base and model.root_quat) or not model.host_data:
+    if not model.host_data:
         return False
     if dict(model.host_data).get("Ttree") is None:
         return False

@@ -205,6 +205,65 @@ def _check_fb_chain(model: RobotModel, chain):
     return True
 
 
+def ee_position_jacobian_tangent(model: RobotModel, q, ee_names=None,
+                                 offset=None):
+    """d(EE position)/d(solver tangent): (..., nq) -> (..., n_ee, 3, nv).
+
+    The position-row Jacobian in the SOLVER'S chart — what Gauss-Newton
+    cost quadratization consumes (solver.costs.ee_reaching_cost):
+      - fixed base / rpy root: the chart is configuration coordinates, so
+        this equals ee_pose_gradient's position rows (rpy root columns via
+        the exact root-transform derivatives);
+      - quaternion root: the chart is the body-twist tangent of
+        solver.integrate.config_retract (xi = [body rotation vec; body
+        translation; joint deltas]).  Geometric closed form at xi = 0:
+        with a_i = world images of the root body axes (columns of the
+        root's world rotation) and o_root the root origin,
+           d p_ee / d xi_rot,i   = a_i x (p_ee - o_root)
+           d p_ee / d xi_trans,i = a_i
+        (from p -> p + R dp, R -> R exp([dth]x):
+         d(R exp([dth]x) s)/ddth_i = R (e_i x s) = a_i x (p_ee - o_root)).
+        Joint columns are the usual geometric revolute/prismatic columns.
+    """
+    if not (model.floating_base and model.root_quat):
+        G = ee_pose_gradient(model, q, ee_names=ee_names, offset=offset)
+        return G[..., :3, :]
+    offset = _default_offset(model) if offset is None else offset
+    n = model.nv
+    Tw = fk_world_hom(model, q)
+    from ..spatial.transforms import PRISMATIC
+
+    jacs = []
+    for jid, fid in _resolve_ee(model, ee_names):
+        T = Tw[..., jid, :, :]
+        if fid is not None:
+            T = T @ model.T_fixed[fid]
+        p_ee = jnp.einsum("...ij,j->...i", T, offset)[..., :3]
+        batch = p_ee.shape[:-1]
+        J = jnp.zeros(batch + (3, n), p_ee.dtype)
+        chain = model.chain(jid)
+        assert chain[0] == 0, "floating root must head the EE chain"
+        R0 = Tw[..., 0, :3, :3]
+        o0 = Tw[..., 0, :3, 3]
+        rel = p_ee - o0
+        for i in range(3):
+            a = R0[..., :, i]
+            J = J.at[..., :, i].set(jnp.cross(a, rel))
+            J = J.at[..., :, 3 + i].set(a)
+        for k in chain[1:]:
+            a = jnp.einsum(
+                "...ij,j->...i", Tw[..., k, :3, :3],
+                model.axis[k].astype(p_ee.dtype),
+            )
+            if model.joint_type[k] == PRISMATIC:
+                col = a
+            else:
+                col = jnp.cross(a, p_ee - Tw[..., k, :3, 3])
+            J = J.at[..., :, model.v_index(k)].set(col)
+        jacs.append(J)
+    return jnp.stack(jacs, axis=-3)
+
+
 def _datan2(y, x, yp, xp):
     """d/dz atan2(y(z), x(z)) (reference :328-329)."""
     return (-xp * y + x * yp) / (x * x + y * y)

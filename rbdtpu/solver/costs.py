@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..model.robot import RobotModel
-from ..kinematics.fk import ee_pose, ee_pose_gradient
+from ..kinematics.fk import ee_pose, ee_position_jacobian_tangent
 from ..spatial.batched import mtv, mtm
 
 
@@ -149,11 +149,14 @@ def ee_reaching_cost(
 
     ``fused``: run the FK + Gauss-Newton terms as ONE Pallas kernel in the
     colvec layout (kernels.fk_lane — the quadratization was ~1/3 of the arm
-    MPC iteration on the jnp path).  None = auto: on for fixed-base and
-    rpy-root floating-base models on TPU when the flattened knot batch packs
-    (compile-probe gated); the geometric-Jacobian kernel equals the analytic
-    chain derivative to roundoff.  Quaternion-root models quadratize by
-    tangent-space AD (stage_derivs=None).
+    MPC iteration on the jnp path).  None = auto: on on TPU when the
+    flattened knot batch packs (compile-probe gated); the geometric-Jacobian
+    kernel equals the analytic chain derivative to roundoff.
+
+    Every root type quadratizes ANALYTICALLY in the solver's chart
+    (kinematics.fk.ee_position_jacobian_tangent): configuration coordinates
+    for fixed-base/rpy models, the body-twist tangent for the quaternion
+    root (whose lx/lxx therefore have 2*nv tangent dims).
     """
     import numpy as _np
 
@@ -165,10 +168,13 @@ def ee_reaching_cost(
     target_xyz = jnp.asarray(target_xyz)
     nq, nv = model.nq, model.nv
     nx = nq + nv
+    quat_root = model.floating_base and model.root_quat
+    nb_q = nv if quat_root else nq  # config-block size in the solver chart
+    ndim = nb_q + nv
     fused_requested = fused
 
     def _fused_on(flat_batch, dtype):
-        if (model.floating_base and model.root_quat) or _tgt_static is None:
+        if _tgt_static is None:
             return False
         if fused_requested is False:
             return False
@@ -202,8 +208,8 @@ def ee_reaching_cost(
                                 ee_names=ee_names, gn=gn)
         if not gn:
             return (e.reshape(lead + (3,)), None, None)
-        return (e.reshape(lead + (3,)), g0.reshape(lead + (nq,)),
-                H0.reshape(lead + (nq, nq)))
+        return (e.reshape(lead + (3,)), g0.reshape(lead + (nb_q,)),
+                H0.reshape(lead + (nb_q, nb_q)))
 
     def ee_err(x):
         out = _gn_fused(x, gn=False)
@@ -224,26 +230,29 @@ def ee_reaching_cost(
         return 0.5 * (w_ee_f * _sq(e) + w_qd_f * _sq(qd))
 
     def _ee_terms(x, w):
-        """Gauss-Newton terms of 0.5*w*||e(q)||^2: grad = w J^T e,
-        hess ~= w J^T J through the analytic FK Jacobian (fused kernel when
-        it applies; identical math)."""
+        """Gauss-Newton terms of 0.5*w*||e(q)||^2 in the SOLVER chart:
+        grad = w J^T e, hess ~= w J^T J through the analytic position
+        Jacobian (fused kernel when it applies; identical math).  J has
+        nb_q tangent columns (== nq except the quaternion root)."""
         out = _gn_fused(x)
         if out is not None:
             _, g0, H0 = out
             return w * g0, w * H0
         q = x[..., :nq]
         e = ee_err(x)
-        J = ee_pose_gradient(model, q, ee_names=ee_names)[..., 0, :3, :]
+        J = ee_position_jacobian_tangent(
+            model, q, ee_names=ee_names
+        )[..., 0, :, :]
         return w * mtv(J, e), w * mtm(J, J)
 
     def _assemble(g_q, H_qq, g_qd, w_qd_blk, x):
         batch = x.shape[:-1]
         lx = jnp.concatenate([g_q, g_qd], axis=-1)
         top = jnp.concatenate(
-            [H_qq, jnp.zeros(batch + (nq, nv), x.dtype)], axis=-1
+            [H_qq, jnp.zeros(batch + (nb_q, nv), x.dtype)], axis=-1
         )
         bot = jnp.concatenate(
-            [jnp.zeros(batch + (nv, nq), x.dtype),
+            [jnp.zeros(batch + (nv, nb_q), x.dtype),
              jnp.broadcast_to(w_qd_blk * jnp.eye(nv), batch + (nv, nv))],
             axis=-1,
         )
@@ -255,19 +264,13 @@ def ee_reaching_cost(
         lx, lxx = _assemble(g_q, H_qq, w_qd * x[..., nq:], w_qd, x)
         lu = w_u * u
         luu = w_u * jnp.eye(nv)          # constant: see tracking cost note
-        lux = jnp.zeros((nv, nx), x.dtype)
+        lux = jnp.zeros((nv, ndim), x.dtype)
         return lx, lu, lxx, luu, lux
 
     def terminal_derivs(x):
         g_q, H_qq = _ee_terms(x, w_ee_f)
         return _assemble(g_q, H_qq, w_qd_f * x[..., nq:], w_qd_f, x)
 
-    if model.floating_base and model.root_quat:
-        # quaternion root: the analytic Gauss-Newton terms above live in
-        # configuration coordinates (nq != the solver's 2*nv tangent dims);
-        # let quadratize_trajectory's tangent-space AD fallback differentiate
-        # through state_retract instead
-        return Cost(stage, terminal, None, None)
     return Cost(stage, terminal, stage_derivs, terminal_derivs)
 
 

@@ -606,6 +606,56 @@ def test_ee_gn_fused_matches_analytic(arm7, rng):
     )
 
 
+def test_ee_gn_fused_quat_root(quadruped12quat, rng):
+    """ee_gn_fused on the QUATERNION root: the kernel's 6 tangent root
+    columns (body-twist chart) equal the analytic tangent Jacobian, and
+    the quat ee_reaching_cost quadratization matches the tangent-AD oracle
+    exactly on the gradient rows (lx/lfx; lxx is Gauss-Newton by design)."""
+    from rbdtpu.kernels.fk_lane import ee_gn_fused
+    from rbdtpu.kinematics.fk import ee_pose, ee_position_jacobian_tangent
+    from rbdtpu.solver import ee_reaching_cost
+    from rbdtpu.solver.costs import Cost, quadratize_trajectory
+    from rbdtpu.solver.integrate import config_retract
+
+    m = quadruped12quat
+    ee = [m.joint_names[m.leaves()[0]]]
+    Bq = 8
+    q0 = jnp.zeros((Bq, m.nq)).at[:, 2].set(0.35).at[:, 3].set(1.0)
+    q = config_retract(
+        m, q0, jnp.array(rng.uniform(-0.5, 0.5, (Bq, m.nv)))
+    )
+    tgt = (0.2, 0.1, 0.3)
+    e, g0, H0 = ee_gn_fused(m, q, tgt, ee_names=ee)
+    e_ref = ee_pose(m, q, ee_names=ee)[..., 0, :3] - jnp.array(tgt)
+    J = ee_position_jacobian_tangent(m, q, ee_names=ee)[..., 0, :, :]
+    np.testing.assert_allclose(np.asarray(e), np.asarray(e_ref), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(g0),
+        np.asarray(jnp.einsum("...ri,...r->...i", J, e_ref)), atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(H0),
+        np.asarray(jnp.einsum("...ri,...rj->...ij", J, J)), atol=1e-12,
+    )
+    # analytic tangent quadratization vs the tangent-AD oracle
+    H = 3
+    X = jnp.concatenate(
+        [config_retract(
+            m, jnp.broadcast_to(q0[:1], (H + 1, m.nq)),
+            0.3 * jnp.array(rng.standard_normal((H + 1, m.nv)))),
+         0.2 * jnp.array(rng.standard_normal((H + 1, m.nv)))], -1)
+    U = jnp.array(rng.uniform(-1, 1, (H, m.nv)))
+    c = ee_reaching_cost(m, jnp.array(tgt), ee_names=ee)
+    c_ad = Cost(c.stage, c.terminal, None, None)
+    out_an = quadratize_trajectory(c, X, U, model=m)
+    out_ad = quadratize_trajectory(c_ad, X, U, model=m)
+    ndim = 2 * m.nv
+    assert out_an[0].shape == (H, ndim)  # lx in tangent dims
+    for i in (0, 1, 5):  # lx, lu, lfx: exact
+        np.testing.assert_allclose(np.asarray(out_an[i]),
+                                   np.asarray(out_ad[i]), atol=1e-12)
+
+
 def test_ee_gn_probe_resolves_ee_chain(quadruped12fb, monkeypatch):
     """REGRESSION: the ee_gn compile probe must resolve the SAME EE chain as
     the cost's actual call.  The gate used to omit ee_names, so on any

@@ -177,6 +177,29 @@ def test_ee_fk_derivatives_floating_base(quadruped12fb, quadruped12quat, rng):
         fk.ee_pose_gradient(mq, qq0, ee_names=eeq)
 
 
+def test_ee_tangent_jacobian_quat_root(quadruped12quat, arm7, rng):
+    """ee_position_jacobian_tangent on the QUATERNION root equals the AD
+    Jacobian of the retracted EE position (the solver's body-twist chart,
+    solver.integrate.config_retract) to machine precision; on flat-chart
+    models it is exactly ee_pose_gradient's position rows."""
+    from rbdtpu.kinematics import fk
+    from rbdtpu.solver.integrate import config_retract
+
+    m = quadruped12quat
+    ee = [m.joint_names[m.leaves()[0]]]
+    q0 = jnp.zeros(m.nq).at[2].set(0.35).at[3].set(1.0)
+    q = config_retract(m, q0, jnp.array(rng.uniform(-0.5, 0.5, m.nv)))
+    J = fk.ee_position_jacobian_tangent(m, q, ee_names=ee)[0]
+    f = lambda xi: fk.ee_pose(m, config_retract(m, q, xi), ee_names=ee)[0, :3]
+    J_ad = jax.jacfwd(f)(jnp.zeros(m.nv))
+    np.testing.assert_allclose(np.asarray(J), np.asarray(J_ad), atol=1e-12)
+
+    q2 = jnp.array(rng.uniform(-1, 1, arm7.nq))
+    J2 = fk.ee_position_jacobian_tangent(arm7, q2)[0]
+    J2_ref = fk.ee_pose_gradient(arm7, q2)[0, :3, :]
+    np.testing.assert_array_equal(np.asarray(J2), np.asarray(J2_ref))
+
+
 def test_gravity_zero_free_fall(model, rng):
     """With tau=0, qd=0 and g=0 every joint acceleration vanishes."""
     q, _, _ = random_state(rng, model)
