@@ -332,6 +332,46 @@ def bench_quadruped_mpc():
     return Bm / best
 
 
+def bench_quadruped_ee_mpc():
+    """Floating-base quadruped EE (foot) reaching, 1024 scenarios: exercises
+    the fb fused EE cost quadratization (kernels.fk_lane geometric root
+    columns — BASELINE.md measured it 6.3x over the jnp quadratize and -27%
+    on the full iteration at this config)."""
+    from rbdtpu.model import load_asset
+    from rbdtpu.solver import DDPConfig, ddp_solve, ee_reaching_cost
+    from rbdtpu.dynamics import rnea
+
+    model = load_asset("quadruped12", dtype=np.float32, floating_base=True)
+    Bm, H, iters = 1024, 50, 5
+    key = jax.random.PRNGKey(4)
+    q0 = jnp.zeros((Bm, model.nq), jnp.float32).at[:, 2].set(0.35)
+    q0 = q0 + 0.05 * jax.random.normal(key, q0.shape, jnp.float32)
+    zero = jnp.zeros((Bm, model.nv), jnp.float32)
+    x0 = jnp.concatenate([q0, zero], -1)
+    ee = [model.joint_names[model.leaves()[0]]]
+    cost = ee_reaching_cost(
+        model, jnp.array([0.3, 0.1, 0.1], jnp.float32), ee_names=ee,
+        w_ee=10.0, w_ee_f=500.0, w_qd=1e-2, w_u=1e-5,
+    )
+    u_hold = rnea(model, q0, zero, zero)[0]
+    U0 = jnp.broadcast_to(u_hold[:, None, :], (Bm, H, model.nv))
+    cfg = DDPConfig(iters=iters, dt=0.01, n_alphas=6, fused=True)
+    f = jax.jit(lambda x, U: ddp_solve(model, cost, x, U, cfg)[0].J)
+    t0 = time.perf_counter()
+    J = f(x0, U0)
+    J.block_until_ready()
+    log(f"quadruped_ee compile+1: {time.perf_counter()-t0:.1f}s "
+        f"finite_frac={float(jnp.mean(jnp.isfinite(J).astype(jnp.float32))):.3f}")
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        f(x0, U0).block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    log(f"quadruped_ee: {best*1e3:.1f} ms for {Bm} scenarios -> "
+        f"{Bm/best:,.0f} solves/s (H={H}, iters={iters}, fused EE cost)")
+    return Bm / best
+
+
 def bench_humanoid_hybrid(root_quat: bool = False):
     """BASELINE.json configs[4]: humanoid (~30 DoF + fb) sampling+DDP hybrid.
 
@@ -603,6 +643,10 @@ def main():
     if os.environ.get("RBDTPU_BENCH_QUADRUPED") != "0":
         result["quadruped_1024scen_solves_per_s"] = round(
             bench_quadruped_mpc()
+        )
+    if os.environ.get("RBDTPU_BENCH_QUADRUPED_EE") != "0":
+        result["quadruped_ee_1024scen_solves_per_s"] = round(
+            bench_quadruped_ee_mpc()
         )
     if os.environ.get("RBDTPU_BENCH_HUMANOID") != "0":
         result["humanoid_hybrid_solves_per_s"] = round(
