@@ -62,8 +62,13 @@ def timed(name, fn, *args, reps=20, calls=4):
         # cost/reps — e.g. a 0.005 ms "linearize" at quadruped size)
         def body(_, eps):
             out = fn(*jax.tree.map(lambda x: perturb(x, eps), a))
+            # reduce every output with a FULL sum: slicing out one element
+            # here lets XLA dead-code-eliminate all but one knot/batch of a
+            # per-knot-independent jnp phase (observed: humanoid jnp
+            # linearize "0.005 ms"; Pallas phases are opaque so fused
+            # numbers were unaffected — jnp phases could read falsely fast)
             return _, jax.tree.map(
-                lambda x: x.reshape(-1)[0].astype(jnp.float32), out
+                lambda x: jnp.sum(x.astype(jnp.float32)), out
             )
 
         return jax.lax.scan(body, 0, eps_seq)[1]
