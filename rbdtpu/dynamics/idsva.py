@@ -112,11 +112,6 @@ def idsva_so_native(model: RobotModel, q, qd, qdd, gravity: float = -9.81):
 
     (..., n) inputs -> 4 tensors (..., n, n, n); arbitrary leading batch."""
     if model.floating_base:
-        if model.root_quat:
-            raise ValueError(
-                "native fb IDSVA-SO covers the rpy root (flat configuration "
-                "chart); the quaternion root uses the AD path"
-            )
         return _idsva_so_native_fb(model, q, qd, qdd, gravity)
     n = model.nv
     S, Sd, psid, psidd, IC, BC, f = _world_pass(model, q, qd, qdd, gravity)
@@ -283,8 +278,8 @@ def _so_assemble(S, Sd, psid, psidd, IC, BC, f, Anc, Astr):
 
 
 def _idsva_so_native_fb(model: RobotModel, q, qd, qdd, gravity: float):
-    """Native second-order sweep for the FLOATING BASE, rpy root — beyond
-    the reference's fixed-base-only scope (RBDReference.py:1415).
+    """Native second-order sweep for the FLOATING BASE — rpy AND quaternion
+    roots, beyond the reference's fixed-base-only scope (RBDReference.py:1415).
 
     Structure (the TPU-first decomposition):
 
@@ -309,6 +304,16 @@ def _idsva_so_native_fb(model: RobotModel, q, qd, qdd, gravity: float):
        (the dS_r and dIC_r terms of the first case cancel via
        x^T crf(y) z = -(y x x).z).  d2tau/dqd dth = 0 and dM/dth = 0
        (the mass matrix in body-twist coordinates is pose-independent).
+
+    QUATERNION root (model.root_quat): identical structure — the ONLY
+    chart-dependent quantities are du6/dxi and d2u6/dxi2, evaluated through
+    the solver's right retraction quat*exp(xi_th)
+    (solver.integrate.config_retract) at xi = 0 instead of the flat rpy
+    coordinates; the retraction curvature of the chart is therefore captured
+    exactly, because tau depends on the root-orientation tangent ONLY
+    through u6.  The tangent ordering follows the root twist: rotation
+    columns 0:3, translation 3:6 (rpy: translation 0:3, rotation 3:6).
+    Cross-checked against retraction-AD at 1e-8 (tests/test_idsva.py).
     """
     nb, nv = model.nb, model.nv
     Xs = joint_transforms_list(model, q)
@@ -379,23 +384,46 @@ def _idsva_so_native_fb(model: RobotModel, q, qd, qdd, gravity: float):
     )
 
     # ---- root-pose q columns (gravity blocks) ----
-    from ..spatial.transforms import floating_spatial_x
-
     Xtree0 = jnp.asarray(model.Xtree[0], dtype)
     agv = jnp.zeros((6,), dtype).at[5].set(-gravity)
 
-    def u_fn(th):
-        q6 = jnp.concatenate([jnp.zeros((3,), dtype), th])
-        return floating_spatial_x(Xtree0, q6) @ agv
+    if model.root_quat:
+        # tangent chart = the solver's right retraction quat*exp(xi_th)
+        # (solver.integrate.config_retract); derivatives of the gravity seed
+        # AT xi = 0 capture the chart's curvature exactly
+        from ..spatial.transforms import floating_quat_spatial_x
+        from ..spatial.quat import quat_exp, quat_mul
 
-    def derivs(th):
-        return jax.jacfwd(u_fn)(th), jax.jacfwd(jax.jacfwd(u_fn))(th)
+        def u_fn_q(dth, quat):
+            q7 = jnp.concatenate(
+                [jnp.zeros((3,), dtype), quat_mul(quat, quat_exp(dth))]
+            )
+            return floating_quat_spatial_x(Xtree0, q7) @ agv
 
-    th = q[..., 3:6]
-    if th.ndim == 1:
-        du, d2u = derivs(th)  # (6, 3), (6, 3, 3)
+        def derivs(quat):
+            z = jnp.zeros((3,), dtype)
+            return (
+                jax.jacfwd(u_fn_q)(z, quat),
+                jax.jacfwd(jax.jacfwd(u_fn_q))(z, quat),
+            )
+
+        root_rot = q[..., 3:7]
     else:
-        flat = th.reshape((-1, 3))
+        from ..spatial.transforms import floating_spatial_x
+
+        def u_fn(th):
+            q6 = jnp.concatenate([jnp.zeros((3,), dtype), th])
+            return floating_spatial_x(Xtree0, q6) @ agv
+
+        def derivs(th):
+            return jax.jacfwd(u_fn)(th), jax.jacfwd(jax.jacfwd(u_fn))(th)
+
+        root_rot = q[..., 3:6]
+
+    if root_rot.ndim == 1:
+        du, d2u = derivs(root_rot)  # (6, 3), (6, 3, 3)
+    else:
+        flat = root_rot.reshape((-1, root_rot.shape[-1]))
         du, d2u = jax.vmap(derivs)(flat)
         du = du.reshape(batch + (6, 3))
         d2u = d2u.reshape(batch + (6, 3, 3))
@@ -409,9 +437,13 @@ def _idsva_so_native_fb(model: RobotModel, q, qd, qdd, gravity: float):
     d2q = d2q * colmask[:, None] * colmask[None, :]
     dvdq = dvdq * colmask
     dM = dM * colmask
+    # rotation-tangent slots in the root's 6 coordinates: rpy q-layout is
+    # [xyz, rpy] -> 3:6; the quat tangent follows the twist ordering
+    # [omega, v] (solver.integrate.config_retract) -> 0:3
+    rot = slice(0, 3) if model.root_quat else slice(3, 6)
     # theta-theta block
     gg = jnp.einsum("...re,...emn->...rmn", T1c, d2u)
-    d2q = d2q.at[..., 3:6, 3:6].set(gg)
+    d2q = d2q.at[..., rot, rot].set(gg)
     # joint-theta cross block
     duT = jnp.swapaxes(du, -1, -2)  # (..., 3, 6)
     cmSdu = cross_motion(Sc[..., :, None, :], duT[..., None, :, :])
@@ -421,8 +453,8 @@ def _idsva_so_native_fb(model: RobotModel, q, qd, qdd, gravity: float):
         + jnp.swapaxes(Astr_c, -1, -2)[..., :, :, None]
         * jnp.einsum("...jde,...rd,...me->...rjm", D1c, Sc, duT)
     )
-    d2q = d2q.at[..., 6:, 3:6].set(cross[..., 6:, :])
-    d2q = d2q.at[..., 3:6, 6:].set(
+    d2q = d2q.at[..., 6:, rot].set(cross[..., 6:, :])
+    d2q = d2q.at[..., rot, 6:].set(
         jnp.swapaxes(cross[..., 6:, :], -1, -2)
     )
     return d2q, d2qd, dvdq, dM
@@ -431,7 +463,17 @@ def _idsva_so_native_fb(model: RobotModel, q, qd, qdd, gravity: float):
 def idsva_so_ad(model: RobotModel, q, qd, qdd, gravity: float = -9.81):
     """Second-order tensors by forward-mode AD over the analytical first-order
     kernel (``rnea_grad``) — exact for branched trees AND floating bases
-    (n tangent evaluations of the O(NB*n) sweep; XLA batches the tangents)."""
+    (n tangent evaluations of the O(NB*n) sweep; XLA batches the tangents).
+
+    QUATERNION root: all q-derivatives are TANGENT-chart derivatives — every
+    differentiation goes through the solver's retraction
+    (solver.integrate.config_retract) at xi = 0, i.e.
+    d2tau_dq[i, j, k] = d^2 tau_i(q (+) xi) / dxi_j dxi_k |_{xi=0}.
+    This is the unambiguous exact Hessian in the chart centered at q (NO
+    chart recentering — differentiating rnea_grad's recentered tangent
+    columns would drop the retraction-curvature terms)."""
+    if model.floating_base and model.root_quat:
+        return _idsva_so_ad_quat(model, q, qd, qdd, gravity)
 
     def first_order(q_, qd_, qdd_):
         return jnp.stack(
@@ -457,18 +499,57 @@ def idsva_so_ad(model: RobotModel, q, qd, qdd, gravity: float = -9.81):
     return tuple(o.reshape(batch + o.shape[1:]) for o in outs)
 
 
+def _idsva_so_ad_quat(model: RobotModel, q, qd, qdd, gravity: float):
+    """Quaternion-root tangent-chart ground truth: double-jacfwd through the
+    retraction (see idsva_so_ad docstring).  O(n^2) tangent evaluations of
+    the full RNEA — the verification/fallback path; ``idsva_so_native`` is
+    the fast one."""
+    from ..solver.integrate import config_retract
+    from .rnea import rnea
+
+    n = model.nv
+
+    def single(q_, qd_, qdd_):
+        z = jnp.zeros((n,), q_.dtype)
+
+        def tau_xi(xi, qd__, qdd__):
+            return rnea(model, config_retract(model, q_, xi), qd__, qdd__,
+                        gravity)[0]
+
+        d2tau_dq = jax.jacfwd(jax.jacfwd(tau_xi, argnums=0), argnums=0)(
+            z, qd_, qdd_
+        )
+        d2tau_dqd = jax.jacfwd(jax.jacfwd(tau_xi, argnums=1), argnums=1)(
+            z, qd_, qdd_
+        )
+        # [i, j, k] = d(dtau_i/dqd_j)/dxi_k
+        d2tau_dvdq = jax.jacfwd(jax.jacfwd(tau_xi, argnums=1), argnums=0)(
+            z, qd_, qdd_
+        )
+        dM = jax.jacfwd(
+            lambda xi: crba(model, config_retract(model, q_, xi))
+        )(z)
+        return d2tau_dq, d2tau_dqd, d2tau_dvdq, dM
+
+    if q.ndim == 1:
+        return single(q, qd, qdd)
+    batch = q.shape[:-1]
+    flat = lambda x: x.reshape((-1, x.shape[-1]))
+    outs = jax.vmap(single)(flat(q), flat(qd), flat(qdd))
+    return tuple(o.reshape(batch + o.shape[1:]) for o in outs)
+
+
 def idsva_so(model: RobotModel, q, qd, qdd, gravity: float = -9.81):
     """Second-order inverse-dynamics derivatives.
 
     (..., nq), (..., nv), (..., nv) -> 4 tensors (..., n, n, n) as documented
     in the module header (reference ``second_order_idsva_parallel``
-    RBDReference.py:1387-1604).  Dispatch: direct native sweep for fixed-base
-    AND rpy-root floating-base models; AD-over-analytic-gradient for the
-    quaternion root (its tangent chart carries retraction curvature the
-    rpy-chart decomposition does not model).
+    RBDReference.py:1387-1604).  The direct native sweep covers ALL root
+    types: fixed base, rpy root, and the quaternion root's tangent chart
+    (the retraction curvature enters only through the gravity-seed
+    derivatives — see ``_idsva_so_native_fb``); ``idsva_so_ad`` remains as
+    the AD cross-check/fallback.
     """
-    if model.floating_base and model.root_quat:
-        return idsva_so_ad(model, q, qd, qdd, gravity)
     return idsva_so_native(model, q, qd, qdd, gravity)
 
 

@@ -2,7 +2,7 @@
 with scan rollouts, vmapped linearization, Riccati backward sweep and parallel
 line search; MPPI sampling MPC; receding-horizon wrapper."""
 from .integrate import pack_state, split_state, euler_semi_implicit, step_jacobians
-from .rollout import rollout, linearize_trajectory
+from .rollout import rollout, linearize_trajectory, normalize_f_ext
 from .costs import (
     Cost,
     quadratic_tracking_cost,
@@ -20,7 +20,7 @@ __all__ = [
     "hybrid_solve",
     "MPCCarry", "mpc_step", "mpc_run", "save_solver_state", "load_solver_state",
     "pack_state", "split_state", "euler_semi_implicit", "step_jacobians",
-    "rollout", "linearize_trajectory",
+    "rollout", "linearize_trajectory", "normalize_f_ext",
     "Cost", "quadratic_tracking_cost", "ee_reaching_cost",
     "add_limit_barrier", "trajectory_cost", "quadratize_trajectory",
     "DDPConfig", "DDPState", "ddp_solve", "backward_pass", "forward_pass",

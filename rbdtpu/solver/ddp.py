@@ -111,14 +111,14 @@ class DDPState(NamedTuple):
     dJ: jax.Array  # (...) last accepted improvement
 
 
-def _step_plain(model, x, u, dt, gravity, route="aba"):
+def _step_plain(model, x, u, dt, gravity, route="aba", f_ext=None):
     q, qd = split_state(model, x)
     if route == "minv":
         from ..dynamics.fd import forward_dynamics
 
-        qdd = forward_dynamics(model, q, qd, u, gravity=gravity)
+        qdd = forward_dynamics(model, q, qd, u, gravity=gravity, f_ext=f_ext)
     else:
-        qdd = aba(model, q, qd, u, gravity=gravity)
+        qdd = aba(model, q, qd, u, f_ext=f_ext, gravity=gravity)
     return euler_semi_implicit(model, x, qdd, dt)
 
 
@@ -290,14 +290,15 @@ def backward_pass(A, B, lx, lu, lxx, luu, lux, lfx, lfxx, reg, fxx=None,
 
 
 def forward_pass(model: RobotModel, cost: Cost, X, U, k, K, alphas, dt,
-                 gravity, step_fn=None, u_clip=None):
+                 gravity, step_fn=None, u_clip=None, f_ext=None):
     """Closed-loop rollouts for every alpha in the ladder, in parallel, for
     every problem in the batch.
 
     X (..., H+1, nx), U/k (..., H, nv), K (..., H, nv, nx), alphas (n_alpha,).
     u_clip: optional (nv,) box bound; applied controls are clamped to
-    [-u_clip, u_clip].  Returns (Xs, Us, Js) with a leading n_alpha axis
-    before the batch dims.
+    [-u_clip, u_clip].  f_ext: optional (H, NB, 6) per-knot disturbance
+    wrenches (pre-normalized); when given, step_fn must accept (x, u, fe).
+    Returns (Xs, Us, Js) with a leading n_alpha axis before the batch dims.
     """
     if step_fn is None:
         step_fn = lambda x, u: _step_plain(model, x, u, dt, gravity)
@@ -313,14 +314,16 @@ def forward_pass(model: RobotModel, cost: Cost, X, U, k, K, alphas, dt,
     tmove = lambda x, r: jnp.moveaxis(x, -r, 0)
     inputs = (tmove(X_b[..., :-1, :], 2), tmove(U_b, 2), tmove(k_b, 2),
               tmove(K_b, 3))
+    if f_ext is not None:
+        inputs = inputs + (f_ext,)
 
     def step(x, inp):
-        X_t, U_t, k_t, K_t = inp
+        X_t, U_t, k_t, K_t = inp[:4]
         # tangent-space feedback (== x - X_t unless quaternion root)
         u = U_t + al * k_t + mv(K_t, state_diff(model, x, X_t))
         if u_clip is not None:
             u = jnp.clip(u, -u_clip, u_clip)
-        x_next = step_fn(x, u)
+        x_next = step_fn(x, u, inp[4]) if f_ext is not None else step_fn(x, u)
         return x_next, (x_next, u)
 
     x0 = X_b[..., 0, :]
@@ -376,14 +379,36 @@ def ddp_solve(
     x0,
     U0,
     config: DDPConfig = DDPConfig(),
+    f_ext=None,
 ):
     """Solve trajectory-optimization problem(s): x0 (..., nx), U0 (..., H, nv)
     with arbitrary (possibly empty) leading batch dims.  Fully jit-able.
-    Returns (DDPState, J_history (iters, ...))."""
+    Returns (DDPState, J_history (iters, ...)).
+
+    f_ext: optional per-body world-frame disturbance wrenches, (NB, 6)
+    constant or (H, NB, 6) per-knot (solver.rollout.normalize_f_ext) — the
+    robust-MPC surface of VERDICT r3 item 6.  EVERY rollout (initial nominal
+    + all line-search candidates) applies the wrenches with exact
+    ``dynamics.aba(f_ext)`` semantics, so the accepted trajectory is
+    dynamically consistent under the disturbance; the accepted cost is the
+    true disturbed cost.  Linearizations keep the undisturbed A, B (the
+    state-dependence of the body-frame wrench mapping is dropped — standard
+    disturbance-aware iLQR practice; the line search on true disturbed
+    rollouts preserves descent and the fixed point).  Disturbed rollouts use
+    the jnp dynamics path (the fused step/feedback kernels carry no wrench
+    input); fused linearization still engages.
+    """
     dt, gravity = config.dt, config.gravity
+    from .rollout import normalize_f_ext
+
+    F = normalize_f_ext(model, f_ext, U0.shape[-2], x0.dtype)
     alphas = 2.0 ** -jnp.arange(config.n_alphas, dtype=x0.dtype)
     batch = x0.shape[:-1]
     step_fn = _make_step(model, config)
+    if F is not None:
+        step_fn_fe = lambda x, u, fe: _step_plain(
+            model, x, u, dt, gravity, config.rollout_route, f_ext=fe
+        )
     lin_fn = _make_linearize(model, config)
     u_clip = (
         model.u_limit_vector().astype(x0.dtype) if config.u_limits else None
@@ -392,6 +417,16 @@ def ddp_solve(
         U0 = jnp.clip(U0, -u_clip, u_clip)
 
     def roll0(x, U):
+        if F is not None:
+            def step_fe(xc, inp):
+                u, fe = inp
+                xn = step_fn_fe(xc, u, fe)
+                return xn, xn
+            U_t = jnp.moveaxis(U, -2, 0)
+            _, X_t = jax.lax.scan(step_fe, x, (U_t, F))
+            X = jnp.moveaxis(X_t, 0, -2)
+            return jnp.concatenate([x[..., None, :], X], axis=-2)
+
         def step(xc, u):
             xn = step_fn(xc, u)
             return xn, xn
@@ -436,6 +471,7 @@ def ddp_solve(
     fwd_nchunks = None
     use_fused_fwd = (
         config.fused
+        and F is None  # fused feedback kernel has no wrench input
         and config.fused_feedback is not False
         and feedback_fused_ok(model, batch_flat * config.n_alphas, x0.dtype)
     )
@@ -472,13 +508,16 @@ def ddp_solve(
         )
         fxx = None
         if config.exact_hessians:
-            if model.root_quat:
-                raise ValueError(
-                    "exact_hessians expects flat configuration coordinates "
-                    "(fixed-base or rpy root); the quaternion-root tangent "
-                    "chart adds retraction-curvature terms fdsva_so does not "
-                    "model"
-                )
+            # All three root types: dynamics.fdsva_so returns tangent-chart
+            # tensors for the quaternion root (the native sweep captures the
+            # retraction curvature of tau exactly — dynamics.idsva).  For the
+            # quat root the STEP's own second-order transport terms (the
+            # curvature of euler_semi_implicit's retraction, whose first
+            # derivative is step_jacobians' T1/T2 blocks) are omitted from
+            # the Vx contraction — the dominant dynamics-curvature terms are
+            # exact, first-order A/B stay exact, and the line search on true
+            # rollouts preserves descent (validated: tests/test_idsva.py
+            # quat exact-Hessian DDP descent test)
             from ..dynamics.idsva import fdsva_so
 
             q, qd = split_state(model, state.X[..., :-1, :])
@@ -504,6 +543,11 @@ def ddp_solve(
             Xs, Us, Js = forward_pass_fused(
                 model, cost, state.X, state.U, k, K, alphas, dt, gravity,
                 u_clip=u_clip, nchunks=fwd_nchunks,
+            )
+        elif F is not None:
+            Xs, Us, Js = forward_pass(
+                model, cost, state.X, state.U, k, K, alphas, dt, gravity,
+                step_fn_fe, u_clip=u_clip, f_ext=F,
             )
         else:
             Xs, Us, Js = forward_pass(

@@ -23,6 +23,7 @@ def hybrid_solve(
     mppi_config: MPPIConfig = MPPIConfig(),
     ddp_config: DDPConfig = DDPConfig(),
     mppi_iters: int = 8,
+    f_ext=None,
 ):
     """MPPI warm start -> DDP refinement.  NATIVELY BATCHED over leading
     problem dims (x0 (..., nx), U0 (..., H, nv), one key): the MPPI stage
@@ -31,9 +32,14 @@ def hybrid_solve(
     blocks the packed-lane Pallas kernels from engaging at their efficient
     widths.
 
+    f_ext: optional per-body disturbance wrenches ((NB, 6) or (H, NB, 6),
+    solver.rollout.normalize_f_ext), applied in BOTH stages' rollouts.
+
     Returns (DDPState, (mppi_hist, ddp_hist))."""
     U_warm, mppi_hist = mppi_solve(
-        model, cost, x0, U0, key, iters=mppi_iters, config=mppi_config
+        model, cost, x0, U0, key, iters=mppi_iters, config=mppi_config,
+        f_ext=f_ext,
     )
-    state, ddp_hist = ddp_solve(model, cost, x0, U_warm, ddp_config)
+    state, ddp_hist = ddp_solve(model, cost, x0, U_warm, ddp_config,
+                                f_ext=f_ext)
     return state, (mppi_hist, ddp_hist)

@@ -38,6 +38,7 @@ def mppi_step(
     U,
     key,
     config: MPPIConfig = MPPIConfig(),
+    f_ext=None,
 ):
     """One MPPI update: sample perturbations, roll out in parallel, reweight.
 
@@ -68,7 +69,7 @@ def mppi_step(
     x0_b = jnp.broadcast_to(x0[..., None, :], batch + (S, nx))
     X_samp = rollout(
         model, x0_b.reshape((-1, nx)), U_samp.reshape((-1, H, nu)),
-        config.dt, config.gravity, fused=config.fused,
+        config.dt, config.gravity, fused=config.fused, f_ext=f_ext,
     ).reshape(batch + (S, H + 1, nx))
     Js = trajectory_cost(cost, X_samp, U_samp)
     Js = jnp.where(jnp.isfinite(Js), Js, jnp.inf)
@@ -87,7 +88,7 @@ def mppi_step(
     # guard, SURVEY.md §5)
     X_new = rollout(
         model, x0.reshape((-1, nx)), U_new.reshape((-1, H, nu)),
-        config.dt, config.gravity, fused=config.fused,
+        config.dt, config.gravity, fused=config.fused, f_ext=f_ext,
     ).reshape(batch + (H + 1, nx))
     J_new = trajectory_cost(cost, X_new, U_new)
     U_best = jnp.take_along_axis(
@@ -104,12 +105,12 @@ def mppi_step(
 
 
 def mppi_solve(model, cost, x0, U0, key, iters: int = 16,
-               config: MPPIConfig = MPPIConfig()):
+               config: MPPIConfig = MPPIConfig(), f_ext=None):
     """Iterated MPPI refinement (batched like ``mppi_step``); returns
     (U, cost_history (iters, ...))."""
     def step(carry, key_t):
         U, _ = carry
-        U_new, J = mppi_step(model, cost, x0, U, key_t, config)
+        U_new, J = mppi_step(model, cost, x0, U, key_t, config, f_ext=f_ext)
         return (U_new, J), J
 
     keys = jax.random.split(key, iters)

@@ -16,8 +16,35 @@ from ..dynamics.fd import forward_dynamics_full
 from .integrate import euler_semi_implicit, split_state, step_jacobians
 
 
+def normalize_f_ext(model: RobotModel, f_ext, H: int, dtype):
+    """Validate/broadcast a disturbance-wrench input to (H, NB, 6).
+
+    Convention (solver-wide, VERDICT r3 item 6): ``f_ext`` is per-body
+    world-frame spatial wrenches, either (NB, 6) — constant over the horizon —
+    or (H, NB, 6) — per-knot (e.g. a push window).  Shared across the problem
+    batch (the robust-MPC common-disturbance scenario).  Semantics match
+    ``dynamics.rnea(..., f_ext)`` / ``dynamics.aba(..., f_ext)`` exactly
+    (reference hook: fb aba RBDReference.py:877-878; corrected C8).
+    """
+    if f_ext is None:
+        return None
+    fe = jnp.asarray(f_ext, dtype)
+    if fe.ndim == 2:
+        if fe.shape != (model.nb, 6):
+            raise ValueError(
+                f"f_ext must be (NB={model.nb}, 6) or (H={H}, NB, 6); got "
+                f"{fe.shape}"
+            )
+        return jnp.broadcast_to(fe[None], (H, model.nb, 6))
+    if fe.ndim == 3 and fe.shape == (H, model.nb, 6):
+        return fe
+    raise ValueError(
+        f"f_ext must be (NB={model.nb}, 6) or (H={H}, NB, 6); got {fe.shape}"
+    )
+
+
 def rollout(model: RobotModel, x0, U, dt: float, gravity: float = -9.81,
-            fused: bool = False):
+            fused: bool = False, f_ext=None):
     """Roll the dynamics forward under a control sequence.
 
     x0 (..., nx), U (..., H, nv) -> X (..., H+1, nx); leading batch dims are
@@ -25,7 +52,25 @@ def rollout(model: RobotModel, x0, U, dt: float, gravity: float = -9.81,
     top of this).  Uses the O(n) ABA route per step (SURVEY.md §3.4 note);
     fused=True routes each step through the fused Pallas kernel
     (kernels.fd_step_fused) when the flattened batch allows it.
+
+    f_ext: optional per-body world-frame disturbance wrenches, (NB, 6) or
+    (H, NB, 6) — see normalize_f_ext.  Disturbed rollouts take the jnp ABA
+    path (the fused step kernel has no wrench input yet); same algorithm,
+    exact ``dynamics.aba(f_ext)`` semantics per step.
     """
+    F = normalize_f_ext(model, f_ext, U.shape[-2], U.dtype)
+    if F is not None:
+        def step_fe(x, inp):
+            u, fe = inp
+            q, qd = split_state(model, x)
+            qdd = aba(model, q, qd, u, f_ext=fe, gravity=gravity)
+            x_next = euler_semi_implicit(model, x, qdd, dt)
+            return x_next, x_next
+
+        U_t = jnp.moveaxis(U, -2, 0)
+        _, X_t = jax.lax.scan(step_fe, x0, (U_t, F))
+        X = jnp.moveaxis(X_t, 0, -2)
+        return jnp.concatenate([x0[..., None, :], X], axis=-2)
     if fused:
         from ..kernels.fused import fd_step_fused
 

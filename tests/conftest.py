@@ -65,6 +65,33 @@ def quadruped12quat():
 
 
 @pytest.fixture(scope="session")
+def humanoid30fb():
+    return load_asset("humanoid30", dtype=np.float64, floating_base=True)
+
+
+@pytest.fixture(scope="session")
+def oracle_fb(quadruped12fb):
+    """Reference bound to the FLOATING-BASE quadruped (rpy root).
+
+    Only the reference's *trusted* fb paths may be asserted against this:
+    fb rnea (RBDReference.py:585-593) and fb crba (:1045-1089).  fb minv/
+    aba/grad carry known bugs (SURVEY.md §2.1) — property tests cover those.
+    """
+    cls = load_reference_class()
+    if cls is None:
+        pytest.skip("reference oracle not available")
+    return cls(OracleRobotAdapter(quadruped12fb))
+
+
+@pytest.fixture(scope="session")
+def oracle_fb_humanoid(humanoid30fb):
+    cls = load_reference_class()
+    if cls is None:
+        pytest.skip("reference oracle not available")
+    return cls(OracleRobotAdapter(humanoid30fb))
+
+
+@pytest.fixture(scope="session")
 def oracle(arm7):
     """Reference RBDReference instance bound to our arm7 model data."""
     cls = load_reference_class()

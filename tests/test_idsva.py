@@ -225,3 +225,67 @@ def test_exact_hessian_ddp_floating_base(quadruped12fb, rng):
     )
     J = np.asarray(Jh)
     assert np.isfinite(J).all() and J[-1] < J[0]
+
+
+def test_idsva_native_quat_root_matches_retraction_ad(quadruped12quat, rng):
+    """QUATERNION root (VERDICT r3 item 4): the native sweep's tangent-chart
+    second-order tensors equal double-jacfwd of RNEA through the solver's
+    retraction (idsva_so_ad's quat branch) at machine precision.  The chart
+    curvature enters only through the gravity-seed derivatives — see
+    dynamics.idsva._idsva_so_native_fb."""
+    from rbdtpu.dynamics.idsva import idsva_so_native, idsva_so_ad, idsva_so
+
+    m = quadruped12quat
+    q, qd, _ = random_state(rng, m)
+    qdd = rng.uniform(-1, 1, m.nv)
+    A = idsva_so_native(m, jnp.array(q), jnp.array(qd), jnp.array(qdd))
+    B = idsva_so_ad(m, jnp.array(q), jnp.array(qd), jnp.array(qdd))
+    for name, x, y in zip(("d2q", "d2qd", "dvdq", "dM"), A, B):
+        assert x.shape == (m.nv, m.nv, m.nv), name
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=1e-10, err_msg=name
+        )
+    # dispatcher routes the quat root to the native sweep now
+    C = idsva_so(m, jnp.array(q), jnp.array(qd), jnp.array(qdd))
+    for x, y in zip(A, C):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=0)
+
+
+def test_idsva_native_quat_humanoid_batched(rng):
+    """Branched quat-root tree (humanoid), batched: native == retraction-AD."""
+    from rbdtpu.model import load_asset
+    from rbdtpu.dynamics.idsva import idsva_so_native, idsva_so_ad
+
+    m = load_asset("humanoid30", dtype=np.float64, floating_base=True,
+                   root_quat=True)
+    q, qd, _ = random_state(rng, m, batch=(2,))
+    qdd = rng.uniform(-1, 1, (2, m.nv))
+    A = idsva_so_native(m, jnp.array(q), jnp.array(qd), jnp.array(qdd))
+    B = idsva_so_ad(m, jnp.array(q), jnp.array(qd), jnp.array(qdd))
+    for x, y in zip(A, B):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-9)
+
+
+def test_exact_hessian_ddp_quat_root(quadruped12quat, rng):
+    """Exact-Hessian DDP on the QUATERNION root no longer raises
+    (VERDICT r3 item 4: solver/ddp.py:476-482) and descends: the fdsva_so
+    tensors are tangent-chart exact; the step retraction's second-order
+    transport is the only omitted term (documented in ddp.py)."""
+    from rbdtpu.solver import DDPConfig, ddp_solve, quadratic_tracking_cost
+    from rbdtpu.solver.integrate import config_retract
+
+    m = quadruped12quat
+    H, dt = 8, 0.02
+    q_goal = jnp.zeros(m.nq).at[2].set(0.35).at[3].set(1.0)
+    x_goal = jnp.concatenate([q_goal, jnp.zeros(m.nv)])
+    q0 = config_retract(
+        m, q_goal, jnp.zeros(m.nv).at[5].set(0.05).at[0].add(0.2)
+    )
+    x0 = jnp.concatenate([q0, jnp.zeros(m.nv)])
+    cost = quadratic_tracking_cost(m, x_goal, w_q=5.0, w_qd=0.1, w_u=1e-4)
+    U0 = jnp.zeros((H, m.nv))
+    st, Jh = ddp_solve(
+        m, cost, x0, U0, DDPConfig(iters=6, dt=dt, exact_hessians=True)
+    )
+    J = np.asarray(Jh)
+    assert np.isfinite(J).all() and J[-1] < J[0]

@@ -72,6 +72,7 @@ def test_sharded_mppi_2d_mesh_population(arm7, mesh2d, rng):
     # probabilistic per step — determinism is covered by the seeded run
 
 
+@pytest.mark.multihost
 def test_multihost_two_processes():
     """REAL multi-process jax.distributed: 2 OS processes x 4 virtual CPU
     devices, 2-D ("host", "batch") mesh, cross-process collectives; each

@@ -149,3 +149,89 @@ def test_spatial_factor_helpers_parity(oracle, rng):
     np.testing.assert_allclose(
         np.asarray(dot_inertia(jnp.array(I), jnp.array(v))), D_ref, atol=TOL
     )
+
+
+# --- FLOATING-BASE parity against the reference's TRUSTED fb paths ---------
+# (VERDICT r3 item 5: fb rnea RBDReference.py:585-593 and fb crba :1045-1089
+# are coherent; anchoring our fb dynamics to them replaces property/AD
+# self-consistency with an independent implementation.  fb minv/aba/grad stay
+# EXCLUDED — known reference bugs, SURVEY.md §2.1.)
+
+def _fb_parity_rnea(model, oracle_ref, rng, with_qdd, gravity=-9.81):
+    q, qd, _ = random_state(rng, model)
+    qdd = rng.uniform(-1, 1, model.nv) if with_qdd else None
+    c_ref, v_ref, a_ref, f_ref = oracle_ref.rnea(
+        q.copy(), qd.copy(),
+        qdd.copy() if qdd is not None else None, GRAVITY=gravity,
+    )
+    out = dyn.rnea(
+        model, jnp.array(q), jnp.array(qd),
+        jnp.array(qdd) if qdd is not None else None, gravity=gravity,
+    )
+    c, v, a, f = out
+    np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref).ravel(),
+                               atol=TOL)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref).T, atol=TOL)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a_ref).T, atol=TOL)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref).T, atol=TOL)
+
+
+def test_fb_rnea_parity_quadruped(quadruped12fb, oracle_fb, rng):
+    _fb_parity_rnea(quadruped12fb, oracle_fb, rng, with_qdd=True)
+
+
+def test_fb_rnea_bias_parity_quadruped(quadruped12fb, oracle_fb, rng):
+    _fb_parity_rnea(quadruped12fb, oracle_fb, rng, with_qdd=False,
+                    gravity=-3.71)
+
+
+def test_fb_rnea_parity_humanoid(humanoid30fb, oracle_fb_humanoid, rng):
+    _fb_parity_rnea(humanoid30fb, oracle_fb_humanoid, rng, with_qdd=True)
+
+
+def _fb_crba_vs_ref_rnea(model, oracle_ref, rng):
+    """fb CRBA anchored to the reference's trusted fb RNEA.
+
+    The reference's own fb crba branch is UNRUNNABLE for every floating-base
+    robot: it allocates ``H = np.zeros((NB, NB))`` (RBDReference.py:1046-1047)
+    but indexes ``matrix_ind = ind + 5`` up to NB+4 (:1063) -> IndexError
+    (verified here on the quadruped; same latent-bug family as the fb minv
+    dense-fill, SURVEY.md §2.1).  The independent anchor is instead built
+    from the trusted fb rnea (:585-593): with zero gravity and zero velocity,
+    c = H @ qdd exactly, so H_ref[:, j] = ref.rnea(q, 0, e_j, GRAVITY=0).
+    """
+    q, _, _ = random_state(rng, model)
+    n = model.nv
+    zero = np.zeros(n)
+    H_ref = np.empty((n, n))
+    for j in range(n):
+        e = np.zeros(n)
+        e[j] = 1.0
+        H_ref[:, j] = np.asarray(
+            oracle_ref.rnea(q.copy(), zero.copy(), e, GRAVITY=0.0)[0]
+        ).ravel()
+    H = np.asarray(dyn.crba(model, jnp.array(q)))
+    assert H.shape == (n, n)
+    np.testing.assert_allclose(H, H_ref, atol=TOL)
+
+
+def test_fb_crba_reference_branch_is_broken(quadruped12fb, oracle_fb, rng):
+    """Pin the newly-found reference bug so the anchoring strategy above is
+    justified by an executable fact, not a claim."""
+    q, _, _ = random_state(rng, quadruped12fb)
+    try:
+        oracle_fb.crba(q.copy())
+    except IndexError:
+        return  # expected: (NB,NB) allocation vs ind+5 indexing
+    raise AssertionError(
+        "reference fb crba ran without IndexError — re-audit "
+        "RBDReference.py:1046-1063 and switch this suite to direct parity"
+    )
+
+
+def test_fb_crba_parity_quadruped(quadruped12fb, oracle_fb, rng):
+    _fb_crba_vs_ref_rnea(quadruped12fb, oracle_fb, rng)
+
+
+def test_fb_crba_parity_humanoid(humanoid30fb, oracle_fb_humanoid, rng):
+    _fb_crba_vs_ref_rnea(humanoid30fb, oracle_fb_humanoid, rng)

@@ -16,9 +16,21 @@ if [ -n "${PALLAS_AXON_POOL_IPS:-}" ]; then
   echo "run_tests: unsetting PALLAS_AXON_POOL_IPS (suite is CPU-only)"
 fi
 
+# --fast: the CI-iteration tier (VERDICT r3 #9) — skips the @slow soak tests
+# and the 2-OS-process multihost test (~5 min warm cache vs ~7 min full warm
+# / ~40 min full cold).  Full suite (no flag) remains the pre-commit soak.
+EXTRA=()
+if [ "${1:-}" = "--fast" ]; then
+  shift
+  EXTRA=(-m "not slow and not multihost")
+  echo "run_tests: FAST tier (excludes @slow + @multihost; run the full"
+  echo "suite before shipping)"
+fi
+
 rc=0
 env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
-  python -m pytest tests/ -q --tb=short -p no:cacheprovider "$@" || rc=$?
+  python -m pytest tests/ -q --tb=short -p no:cacheprovider \
+  "${EXTRA[@]}" "$@" || rc=$?
 
 if [ $rc -ne 0 ]; then
   echo "run_tests: FAILED (rc=$rc)."
