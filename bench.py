@@ -84,52 +84,78 @@ def budget_left():
     return float(b) - (time.perf_counter() - T0)
 
 
+def timed_solve_rate(solve_J, x0, U0, batch, reps, calls=4, label=""):
+    """Amortized solver throughput: `reps` full solves inside ONE jitted
+    program (each on an eps-perturbed x0 so no stage can be deduplicated /
+    hoisted), min wall time over `calls` HOST-SYNCED calls (the timed value
+    is fetched to host — block_until_ready alone can return early through
+    the tunnel, r4 finding), minus nothing: the residual single dispatch
+    (~26 ms floor measured this round) is amortized by reps, not
+    subtracted.  Returns (solves_per_s, mean_J_of_first_solve).
+
+    r1-r3 solver rates timed ONE solve per call and therefore carried the
+    full dispatch floor in every sample — the r4 jumps on the small/fast
+    configs are measurement-protocol corrections, not only kernel wins
+    (BASELINE.md provenance notes)."""
+    @jax.jit
+    def many(x, U, eps):
+        def one(acc, k):
+            J = solve_J(x + (eps * k) * 1e-6, U)
+            return acc + jnp.mean(J), None
+        ks = 1.0 + jnp.arange(reps, dtype=x.dtype)
+        acc, _ = jax.lax.scan(one, jnp.asarray(0.0, x.dtype), ks)
+        return acc / reps
+
+    t0 = time.perf_counter()
+    J1 = solve_J(x0, U0)
+    jm = float(jnp.mean(J1))
+    log(f"{label} compile+1: {time.perf_counter() - t0:.1f}s "
+        f"finite_frac="
+        f"{float(jnp.mean(jnp.isfinite(J1).astype(jnp.float32))):.3f}")
+    assert np.isfinite(jm), f"{label}: non-finite mean J"
+    float(many(x0, U0, jnp.asarray(0.0, x0.dtype)))  # compile + sync
+    best = float("inf")
+    for i in range(calls):
+        t0 = time.perf_counter()
+        float(many(x0, U0, jnp.asarray(float(i + 1), x0.dtype)))
+        best = min(best, time.perf_counter() - t0)
+    rate = batch * reps / best
+    log(f"{label}: {best*1e3:.1f} ms for {reps}x{batch} solves -> "
+        f"{rate:,.1f} solves/s")
+    return rate, jm
+
+
 def bench_tpu_rollout(model):
     """Minv + RNEA forward-dynamics rollouts (BASELINE.json configs[1]),
-    through the fused Pallas step kernel (same algorithm as the jnp path —
-    equivalence is asserted in tests/test_kernels.py and below)."""
+    through the WHOLE-HORIZON fused Pallas kernel (kernels.rollout_fused_multi
+    route="minv": bias RNEA + factorized M^-1 apply per step, time loop
+    inside the kernel grid; same algorithm as the jnp path — equivalence is
+    asserted in tests/test_kernels.py and below).
+
+    Timing protocol (r4): the tunnel's per-call dispatch floor was measured
+    at ~27 ms this round — min-over-calls at small amortization measures
+    LATENCY, not throughput (the r1-r3 133-155M rows were latency-bound;
+    work x4 moved runtime only ~10%).  So: (a) every timed call ends in a
+    HOST FETCH of the scalar result (block_until_ready alone returns early
+    through the tunnel), (b) two amortization levels R1 < R2 are timed and
+    the headline is the R2 end-to-end rate (conservative, still includes
+    one dispatch), with the slope rate (R2-R1)H·B/(t2-t1) reported as the
+    latency-excluded device rate and the implied per-call floor logged."""
     from rbdtpu.dynamics import forward_dynamics
     from rbdtpu.kernels import fd_step_minv_fused
+    from rbdtpu.kernels.fused import rollout_fused_multi
     from rbdtpu.solver import euler_semi_implicit, split_state
-
-    def step(x, u):
-        return fd_step_minv_fused(model, x, u, DT), None
 
     def step_jnp(x, u):
         q, qd = split_state(model, x)
         qdd = forward_dynamics(model, q, qd, u)
         return euler_semi_implicit(model, x, qdd, DT), None
 
-    R = 20  # rollouts per device call: amortizes the per-call dispatch floor
-            # (8-26 ms through the tunnel), which otherwise dominates
-
-    @jax.jit
-    def roll(x0, U):
-        # U is scan-major (H, B, nv): a (B, H, nv) layout would cost a
-        # lane-padded transpose (~20 ms at this size) inside the loop body
-        xf, _ = jax.lax.scan(step, x0, U)
-        return xf
-
-    @jax.jit
-    def roll_many(x0, U_big):
-        def one(acc, U_r):
-            xf, _ = jax.lax.scan(step, x0, U_r)
-            return acc + 1e-12 * jnp.sum(xf), None
-        acc, _ = jax.lax.scan(one, jnp.float32(0.0), U_big)
-        return acc
-
     key = jax.random.PRNGKey(0)
     x0 = 0.1 * jax.random.normal(key, (B, model.nq + model.nv), jnp.float32)
     U = 0.5 * jax.random.normal(key, (H, B, model.nv), jnp.float32)
-    U_big = 0.5 * jax.random.normal(
-        key, (R, H, B, model.nv), jnp.float32
-    )
 
-    t0 = time.perf_counter()
-    roll(x0, U).block_until_ready()
-    log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
-
-    # honesty check: fused kernel path == jnp path over a short horizon
+    # honesty check: fused whole-horizon kernel == jnp path over 10 steps
     @jax.jit
     def roll_jnp10(x0, U):
         xf, _ = jax.lax.scan(step_jnp, x0, U[:10])
@@ -137,24 +163,46 @@ def bench_tpu_rollout(model):
 
     @jax.jit
     def roll_fused10(x0, U):
-        xf, _ = jax.lax.scan(step, x0, U[:10])
-        return xf
+        return rollout_fused_multi(model, x0, U[:10], DT, route="minv")
 
     err = float(jnp.abs(roll_fused10(x0, U) - roll_jnp10(x0, U)).max())
     log(f"fused-vs-jnp 10-step rollout max err: {err:.2e}")
-    assert err < 1e-3, "fused Minv+RNEA step diverges from the jnp path"
+    assert err < 1e-3, "fused Minv+RNEA rollout diverges from the jnp path"
 
-    # min over several timed batches: robust to host/tunnel noise
-    roll_many(x0, U_big).block_until_ready()
-    best = float("inf")
-    for _ in range(6):
+    def timed_at(R):
+        U_big = 0.2 * jax.random.normal(
+            key, (R, H, B, model.nv), jnp.float32
+        )
+
+        @jax.jit
+        def roll_many(x0, U_big, eps):
+            def one(acc, U_r):
+                xf = rollout_fused_multi(model, x0 + eps, U_r, DT,
+                                         route="minv")
+                return acc + 1e-12 * jnp.sum(xf), None
+            acc, _ = jax.lax.scan(one, jnp.float32(0.0), U_big)
+            return acc
+
         t0 = time.perf_counter()
-        out = roll_many(x0, U_big)
-        out.block_until_ready()
-        best = min(best, time.perf_counter() - t0)
-    steps_per_s = B * H * R / best
-    log(f"tpu rollout: {best*1e3:.2f} ms for {R}x({B}x{H}) steps -> "
-        f"{steps_per_s:,.0f} steps/s")
+        float(roll_many(x0, U_big, jnp.float32(0.0)))  # compile + sync
+        log(f"rollout R={R} compile+first: {time.perf_counter() - t0:.1f}s")
+        best = float("inf")
+        for i in range(4):
+            # per-call eps defeats any upstream memoization of identical
+            # dispatches; float() forces a real device sync
+            t0 = time.perf_counter()
+            float(roll_many(x0, U_big, jnp.float32((i + 1) * 1e-9)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    R1, R2 = 160, 640
+    t1, t2 = timed_at(R1), timed_at(R2)
+    steps_per_s = B * H * R2 / t2
+    slope = B * H * (R2 - R1) / max(t2 - t1, 1e-9)
+    floor_ms = max(t2 - R2 * (t2 - t1) / (R2 - R1), 0.0) * 1e3
+    log(f"tpu rollout: {t2*1e3:.2f} ms for {R2}x({B}x{H}) steps -> "
+        f"{steps_per_s:,.0f} steps/s end-to-end; slope (latency-excluded) "
+        f"{slope/1e6:,.0f}M steps/s; implied dispatch floor {floor_ms:.1f} ms")
 
     # FLOP accounting (VERDICT r1 item 10): XLA's own cost model for the
     # whole timed program -> flops/step and achieved fraction of chip peak.
@@ -201,7 +249,37 @@ def bench_tpu_rollout(model):
                 "vpu_bound_steps_per_s": round(1.0 / t_vpu),
                 "pct_attainable": round(100.0 * steps_per_s / attainable, 1),
                 "bound": "vpu" if t_vpu > t_hbm else "hbm",
+                "slope_steps_per_s": round(slope),
+                "dispatch_floor_ms": round(floor_ms, 1),
+                # NOTE: pct_attainable > 100 is expected now — the "vpu
+                # bound" normalizes by the JNP program's cost-model flops
+                # (21.7k/step), while the lane kernel's static folding
+                # executes ~2.3k real ops/step (tools/audit_lane_ops.py);
+                # the honest ceiling is the issue-slot bound below
             }
+            # OP-LEVEL account (VERDICT r3 item 3): the cost-model flop bound
+            # above charges the jnp program's flops, but the lane kernel's
+            # static folding executes far fewer real ops — census the traced
+            # kernel body (the exact jaxpr Mosaic lowers) and report the
+            # issue-slot bound it implies, so both the flop-normalized and
+            # the instruction-level roofline are in the captured artifact.
+            try:
+                ops = _lane_op_census(model)
+                kind = getattr(jax.devices()[0], "device_kind", "").lower()
+                clock = 1.67e9 if ("v5" in kind) else None
+                if clock:
+                    tile_rate = 4 * clock  # 4 ALUs, one (8,128) tile/op
+                    bound = tile_rate / max(ops, 1) * 1024
+                    roofline["lane_ops_per_step"] = ops
+                    roofline["issue_bound_steps_per_s"] = round(bound)
+                    roofline["pct_issue_bound"] = round(
+                        100.0 * steps_per_s / bound, 1
+                    )
+                    roofline["pct_issue_bound_slope"] = round(
+                        100.0 * slope / bound, 1
+                    )
+            except Exception as e:
+                log(f"lane-op census unavailable: {e}")
             log(
                 f"roofline: {bytes_per_step} B/step -> "
                 f"{roofline['achieved_gb_s']} GB/s of {hbm/1e9:.0f} GB/s; "
@@ -213,6 +291,40 @@ def bench_tpu_rollout(model):
     except Exception as e:  # cost analysis is backend-dependent
         log(f"flop accounting unavailable: {e}")
     return steps_per_s, flops_per_step, pct_peak, roofline
+
+
+def _lane_op_census(model):
+    """Primitive-op count of the fused minv-route step kernel body (one
+    (8, 128) lane tile; every op = one full-width VPU op).  Mirrors
+    tools/audit_lane_ops.py — see it for the per-phase breakdown."""
+    from rbdtpu.kernels import fused as kf
+
+    ms = kf.get_static(model)
+    nq, nv = ms.nq, ms.nv
+    sc = lambda: jnp.zeros((8, 128), jnp.float32)
+    args = [sc() for _ in range(nq + 2 * nv)]
+
+    def body(*a):
+        q = list(a[:nq])
+        qd = list(a[nq:nq + nv])
+        u = list(a[nq + nv:])
+        q_new, qd_new = kf._step_lane(ms, q, qd, u, 0.01, -9.81,
+                                      route="minv")
+        return q_new + qd_new
+
+    jaxpr = jax.make_jaxpr(body)(*args)
+    n = 0
+
+    def walk(jx):
+        nonlocal n
+        for eqn in jx.eqns:
+            for sub in eqn.params.values():
+                if hasattr(sub, "jaxpr"):
+                    walk(sub.jaxpr)
+            n += 1
+
+    walk(jaxpr.jaxpr)
+    return n
 
 
 def _chip_peak_flops():
@@ -250,33 +362,44 @@ def _chip_vpu_flops():
 
 
 def bench_fused_rollout(model):
-    """Fused Pallas ABA+Euler rollout (kernels.rollout_fused): slope-based
-    per-step cost between two horizons, rejecting the fixed per-call floor."""
-    from rbdtpu.kernels import rollout_fused
+    """Fused whole-horizon ABA-route rollout (kernels.rollout_fused_multi
+    route="aba") — same sync-forced two-level amortization protocol as
+    bench_tpu_rollout."""
+    from rbdtpu.kernels.fused import rollout_fused_multi
 
     key = jax.random.PRNGKey(0)
     x0 = 0.1 * jax.random.normal(key, (B, model.nq + model.nv), jnp.float32)
-    R, H_f = 40, 50
+    H_f = 50
 
-    @jax.jit
-    def roll_many(x0, U_big):
-        def one(acc, U_r):
-            xf = rollout_fused(model, x0, U_r, DT)
-            return acc + 1e-12 * jnp.sum(xf), None
-        acc, _ = jax.lax.scan(one, jnp.float32(0.0), U_big)
-        return acc
+    def timed_at(R):
+        U_big = 0.2 * jax.random.normal(
+            key, (R, H_f, B, model.nv), jnp.float32
+        )
 
-    U_big = 0.2 * jax.random.normal(key, (R, H_f, B, model.nv), jnp.float32)
-    roll_many(x0, U_big).block_until_ready()
-    best = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        out = roll_many(x0, U_big)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    steps_per_s = B * H_f * R / best
-    log(f"fused rollout: {best*1e3:.2f} ms for {R}x({B}x{H_f}) -> "
-        f"{steps_per_s/1e6:,.0f}M state-steps/s")
+        @jax.jit
+        def roll_many(x0, U_big, eps):
+            def one(acc, U_r):
+                xf = rollout_fused_multi(model, x0 + eps, U_r, DT,
+                                         route="aba")
+                return acc + 1e-12 * jnp.sum(xf), None
+            acc, _ = jax.lax.scan(one, jnp.float32(0.0), U_big)
+            return acc
+
+        float(roll_many(x0, U_big, jnp.float32(0.0)))
+        best = float("inf")
+        for i in range(4):
+            t0 = time.perf_counter()
+            float(roll_many(x0, U_big, jnp.float32((i + 1) * 1e-9)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    R1, R2 = 160, 640
+    t1, t2 = timed_at(R1), timed_at(R2)
+    steps_per_s = B * H_f * R2 / t2
+    slope = B * H_f * (R2 - R1) / max(t2 - t1, 1e-9)
+    log(f"fused aba rollout: {t2*1e3:.2f} ms for {R2}x({B}x{H_f}) -> "
+        f"{steps_per_s/1e6:,.0f}M end-to-end / {slope/1e6:,.0f}M slope "
+        "state-steps/s")
     return steps_per_s
 
 
@@ -338,19 +461,9 @@ def bench_mpc_solves(model):
     u_hold = rnea(model, q0, zero, zero)[0]
     U0 = jnp.broadcast_to(u_hold[:, None, :], (Bm, H, model.nv))
     f = jax.jit(lambda x, U: ddp_solve(model, cost, x, U, cfg)[0].J)
-    t0 = time.perf_counter()
-    J = f(x0, U0)
-    J.block_until_ready()
-    log(f"mpc compile+1: {time.perf_counter()-t0:.1f}s")
-    assert bool(jnp.all(jnp.isfinite(J))), "MPC solves produced non-finite J"
-    best = float("inf")
-    for _ in range(4):
-        t0 = time.perf_counter()
-        f(x0, U0).block_until_ready()
-        best = min(best, time.perf_counter() - t0)
-    log(f"mpc: {best*1e3:.1f} ms for {Bm} solves -> {Bm/best:,.0f} solves/s "
-        f"(H={H}, iters={iters}, meanJ={float(J.mean()):.3f})")
-    return Bm / best
+    rate, jm = timed_solve_rate(f, x0, U0, Bm, reps=8, label="mpc")
+    log(f"mpc meanJ={jm:.3f} (H={H}, iters={iters})")
+    return rate
 
 
 def bench_quadruped_mpc():
@@ -375,19 +488,9 @@ def bench_quadruped_mpc():
     U0 = jnp.broadcast_to(u_hold[:, None, :], (Bm, H, model.nv))
     cfg = DDPConfig(iters=iters, dt=0.01, n_alphas=6, fused=True)
     f = jax.jit(lambda x, U: ddp_solve(model, cost, x, U, cfg)[0].J)
-    t0 = time.perf_counter()
-    J = f(x0, U0)
-    J.block_until_ready()
-    log(f"quadruped compile+1: {time.perf_counter()-t0:.1f}s "
-        f"finite_frac={float(jnp.mean(jnp.isfinite(J).astype(jnp.float32))):.3f}")
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        f(x0, U0).block_until_ready()
-        best = min(best, time.perf_counter() - t0)
-    log(f"quadruped: {best*1e3:.1f} ms for {Bm} scenarios -> "
-        f"{Bm/best:,.0f} solves/s (H={H}, iters={iters})")
-    return Bm / best
+    rate, _ = timed_solve_rate(f, x0, U0, Bm, reps=4, calls=3,
+                               label="quadruped")
+    return rate
 
 
 def bench_quadruped_ee_mpc():
@@ -415,19 +518,9 @@ def bench_quadruped_ee_mpc():
     U0 = jnp.broadcast_to(u_hold[:, None, :], (Bm, H, model.nv))
     cfg = DDPConfig(iters=iters, dt=0.01, n_alphas=6, fused=True)
     f = jax.jit(lambda x, U: ddp_solve(model, cost, x, U, cfg)[0].J)
-    t0 = time.perf_counter()
-    J = f(x0, U0)
-    J.block_until_ready()
-    log(f"quadruped_ee compile+1: {time.perf_counter()-t0:.1f}s "
-        f"finite_frac={float(jnp.mean(jnp.isfinite(J).astype(jnp.float32))):.3f}")
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        f(x0, U0).block_until_ready()
-        best = min(best, time.perf_counter() - t0)
-    log(f"quadruped_ee: {best*1e3:.1f} ms for {Bm} scenarios -> "
-        f"{Bm/best:,.0f} solves/s (H={H}, iters={iters}, fused EE cost)")
-    return Bm / best
+    rate, _ = timed_solve_rate(f, x0, U0, Bm, reps=4, calls=3,
+                               label="quadruped_ee")
+    return rate
 
 
 def bench_humanoid_hybrid(root_quat: bool = False):
@@ -473,19 +566,58 @@ def bench_humanoid_hybrid(root_quat: bool = False):
         lambda x, U, k: hybrid_solve(model, cost, x, U, k, mcfg, dcfg,
                                      mppi_iters=4)[0].J
     )
-    t0 = time.perf_counter()
-    J = f(x0, U0, key)
-    J.block_until_ready()
-    log(f"humanoid compile+1: {time.perf_counter()-t0:.1f}s "
-        f"finite_frac={float(jnp.mean(jnp.isfinite(J).astype(jnp.float32))):.3f}")
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        f(x0, U0, key).block_until_ready()
-        best = min(best, time.perf_counter() - t0)
-    log(f"humanoid hybrid: {best*1e3:.1f} ms for {Bm} solves -> "
-        f"{Bm/best:,.1f} solves/s (H={H}, MPPI 4x128 + DDP 4)")
-    return Bm / best
+    rate, _ = timed_solve_rate(
+        lambda x, U: f(x, U, key), x0, U0, Bm, reps=6, calls=3,
+        label=f"humanoid hybrid{' quat' if root_quat else ''}",
+    )
+    return rate
+
+
+def bench_idsva_humanoid_quat():
+    """Native quaternion-root IDSVA-SO at humanoid size vs the
+    retraction-AD fallback (VERDICT r3 item 4 'bench native vs AD at
+    humanoid size').  The AD path is O(n^2) tangent RNEA evaluations per
+    sample, so it runs at a tiny batch — rates are per-eval either way."""
+    from rbdtpu.model import load_asset
+    from rbdtpu.dynamics import idsva_so_native, idsva_so_ad
+
+    model = load_asset("humanoid30", dtype=np.float32, floating_base=True,
+                       root_quat=True)
+    key = jax.random.PRNGKey(0)
+
+    def timed(fn, Bs, R, label):
+        ks = jax.random.split(key, 3)
+        q = jnp.zeros((Bs, model.nq), jnp.float32).at[:, 3].set(1.0)
+        from rbdtpu.solver.integrate import config_retract
+
+        q = config_retract(
+            model, q, 0.3 * jax.random.normal(ks[0], (Bs, model.nv),
+                                              jnp.float32)
+        )
+        qd = 0.5 * jax.random.normal(ks[1], (Bs, model.nv), jnp.float32)
+        qdd = 0.5 * jax.random.normal(ks[2], (Bs, model.nv), jnp.float32)
+
+        @jax.jit
+        def many(q, qd, qdd):
+            def one(acc, _):
+                outs = fn(model, q, qd, qdd)
+                return acc + 1e-12 * outs[0].sum(), None
+            acc, _ = jax.lax.scan(one, jnp.float32(0.0), None, length=R)
+            return acc
+
+        many(q, qd, qdd).block_until_ready()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            many(q, qd, qdd).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        rate = Bs * R / best
+        log(f"idsva_so humanoid-quat {label}: {rate:,.1f} eval/s")
+        return rate
+
+    native = timed(idsva_so_native, 256, 4, "native")
+    ad = timed(idsva_so_ad, 4, 1, "retraction-AD")
+    return native, ad
 
 
 def bench_humanoid_quat_ee():
@@ -517,19 +649,9 @@ def bench_humanoid_quat_ee():
     U0 = jnp.broadcast_to(u_hold[:, None, :], (Bm, H, model.nv))
     cfg = DDPConfig(iters=iters, dt=0.01, n_alphas=4, fused=True)
     f = jax.jit(lambda x, U: ddp_solve(model, cost, x, U, cfg)[0].J)
-    t0 = time.perf_counter()
-    J = f(x0, U0)
-    J.block_until_ready()
-    log(f"humanoid_quat_ee compile+1: {time.perf_counter()-t0:.1f}s "
-        f"finite_frac={float(jnp.mean(jnp.isfinite(J).astype(jnp.float32))):.3f}")
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        f(x0, U0).block_until_ready()
-        best = min(best, time.perf_counter() - t0)
-    log(f"humanoid_quat_ee: {best*1e3:.1f} ms for {Bm} solves -> "
-        f"{Bm/best:,.1f} solves/s (H={H}, iters={iters}, quat root, fused EE)")
-    return Bm / best
+    rate, _ = timed_solve_rate(f, x0, U0, Bm, reps=6, calls=3,
+                               label="humanoid_quat_ee")
+    return rate
 
 
 def bench_second_order(model):
@@ -778,6 +900,14 @@ def arm_idsva():
     SUMMARY["idsva_so_ad_eval_per_s"] = round(so_ad)
 
 
+def arm_idsva_humanoid_quat():
+    hq_native, hq_ad = bench_idsva_humanoid_quat()
+    emit("idsva_so_humanoid_quat_native_eval_per_s", round(hq_native),
+         "eval/s", ad_eval_per_s=round(hq_ad, 1))
+    SUMMARY["idsva_so_humanoid_quat_native_eval_per_s"] = round(hq_native)
+    SUMMARY["idsva_so_humanoid_quat_ad_eval_per_s"] = round(hq_ad, 1)
+
+
 # (env flag to disable, arm fn) — cheapest-headline-first (VERDICT r3 #1);
 # every solver headline lands before the slow humanoid compiles can eat a
 # driver timeout.  Set RBDTPU_BENCH_<X>=0 to skip one when iterating locally.
@@ -790,6 +920,7 @@ ARMS = [
     ("RBDTPU_BENCH_HUMANOID_QUAT", arm_humanoid_quat),
     ("RBDTPU_BENCH_HUMANOID_QUAT_EE", arm_humanoid_quat_ee),
     ("RBDTPU_BENCH_SO", arm_idsva),
+    ("RBDTPU_BENCH_SO_HUMANOID_QUAT", arm_idsva_humanoid_quat),
 ]
 
 

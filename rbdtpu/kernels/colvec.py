@@ -33,8 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..model.robot import RobotModel
 from . import lanescalar as ls
-from .fused import ModelStatic, get_static, _body_x, _rnea_sweeps_lane, \
-    aba_lane, _on_tpu
+from .fused import ModelStatic, get_static, _body_xc, \
+    _rnea_sweeps_lane, aba_lane, _on_tpu
 
 
 def _pad8(n: int) -> int:
@@ -63,7 +63,7 @@ def _make_oh(C: int, dtype):
 def minv_colvec(ms: ModelStatic, X, oh):
     """Direct analytical M^-1 with columns in sublanes.
 
-    X: per-body transform list in base layout.  Returns the n ROWS of the
+    X: per-body COMPACT (E, r) transform list (``_body_xc``) in base layout.  Returns the n ROWS of the
     upper-triangular-authoritative M^-1, each a colscalar; callers symmetrize
     outside (lower-triangle content is partial, like the reference's dense
     fill from the upper triangle, RBDReference.py:798-805).
@@ -102,9 +102,9 @@ def minv_colvec(ms: ModelStatic, X, oh):
         if p != -1:
             F[i] = [ls._add(F[i][r], ls._mul(Minv[mi], Ui[r]))
                     for r in range(6)]
-            F[p] = ls.vadd(F[p], ls.matvec_T(X[i], F[i]))
-            Ia = ls.mat_sub(IA[i], ls.mat_scale(Dinv_i, ls.outer_vv(Ui, Ui)))
-            IA[p] = ls.mat_add(IA[p], ls.xtax(X[i], Ia))
+            F[p] = ls.vadd(F[p], ls.xc_mtv(X[i], F[i]))
+            Ia = ls.mat_combine_sym(IA[i], ls.outer_sym(Ui), -Dinv_i)
+            IA[p] = ls.mat_add_sym(IA[p], ls.xc_xtax_sym(X[i], Ia))
     for i in range(nb):
         p = ms.parent[i]
         if p == -1:
@@ -114,7 +114,7 @@ def minv_colvec(ms: ModelStatic, X, oh):
                 F[i] = [ls._mul(Minv[i], s) for s in ms.S[i]]
         else:
             mi = ms.vi(i)
-            XF = ls.matvec(X[i], F[p])
+            XF = ls.xc_mv(X[i], F[p])
             delta = ls._mul(-1.0, ls._mul(Dinv[i], ls.dot(U[i], XF)))
             Minv[mi] = ls._add(Minv[mi], delta)
             F[i] = [ls._add(ls._mul(Minv[mi], ms.S[i][r]), XF[r])
@@ -157,7 +157,7 @@ def grad_pass_colvec(ms: ModelStatic, X, q, qd, v, a, f, oh, wrt: str,
                     # a0_lin = exp(-dtheta^) E gl, so column j (= tangent
                     # rotation coord j, velocity index j) is w x e_j with
                     # w = E gl = lin(X0 a_grav); translation columns vanish
-                    a0 = ls.matvec(Xi, a_grav)
+                    a0 = ls.xc_mv(Xi, a_grav)
                     w0, w1, w2 = a0[3], a0[4], a0[5]
                     neg = lambda t: ls._mul(-1.0, t)
                     cols = (
@@ -207,14 +207,14 @@ def grad_pass_colvec(ms: ModelStatic, X, q, qd, v, a, f, oh, wrt: str,
         if p == -1:
             dv_i = ls.vec6(0.0)
             da_b = ls.vec6(0.0)
-            Xa_ref = ls.matvec(Xi, a_grav)
+            Xa_ref = ls.xc_mv(Xi, a_grav)
         else:
-            dv_i = ls.matvec(Xi, dv[p])
-            da_b = ls.matvec(Xi, da[p])
-            Xa_ref = ls.matvec(Xi, a[p])
+            dv_i = ls.xc_mv(Xi, dv[p])
+            da_b = ls.xc_mv(Xi, da[p])
+            Xa_ref = ls.xc_mv(Xi, a[p])
         if wrt == "q":
             if p != -1:
-                Xv = ls.matvec(Xi, v[p])
+                Xv = ls.xc_mv(Xi, v[p])
                 inj = ls.cross_motion(Xv, S)
                 dv_i = [ls._add(dv_i[r], ls._mul(oh(ci), inj[r]))
                         for r in range(6)]
@@ -244,11 +244,11 @@ def grad_pass_colvec(ms: ModelStatic, X, q, qd, v, a, f, oh, wrt: str,
         ci = ms.vi(i)
         dc[ci] = ls.dot(S, df[i])
         if p != -1:
-            df[p] = ls.vadd(df[p], ls.matvec_T(X[i], df[i]))
+            df[p] = ls.vadd(df[p], ls.xc_mtv(X[i], df[i]))
             if wrt == "q":
                 # crf(S) f (NOT -f x S: that identity is revolute-only —
                 # see dynamics.rnea_grad.rnea_grad_bpass)
-                delta = ls.matvec_T(X[i], ls.cross_force(S, f[i]))
+                delta = ls.xc_mtv(X[i], ls.cross_force(S, f[i]))
                 df[p] = [ls._add(df[p][r], ls._mul(oh(ci), delta[r]))
                          for r in range(6)]
     return dc
@@ -321,7 +321,7 @@ def linearize_parts_fused(model: RobotModel, q, qd, u,
         q_s = [q_ref[i : i + 1, :] for i in range(nq)]
         qd_s = [qd_ref[i : i + 1, :] for i in range(n)]
         u_s = [u_ref[i : i + 1, :] for i in range(n)]
-        X = [_body_x(ms, i, q_s) for i in range(nb)]
+        X = [_body_xc(ms, i, q_s) for i in range(nb)]
         qdd = aba_lane(ms, q_s, qd_s, u_s, gravity, X=X)
         v, a, f, _ = _rnea_sweeps_lane(ms, X, qd_s, qdd, gravity)
         Minv = minv_colvec(ms, X, oh)

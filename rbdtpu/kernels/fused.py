@@ -100,6 +100,47 @@ def _joint_x(ms: ModelStatic, i: int, qi):
     return ls.revolute_x(ms.axis[i], ms.Xtree[i], s, c)
 
 
+# --- compact (E, r) transform builders (see lanescalar "compact Plücker") --
+
+def _split_xtree(ms: ModelStatic):
+    """(E_t, r_t) static split of every Xtree, cached on the ModelStatic."""
+    if not hasattr(ms, "_xc_tree"):
+        ms._xc_tree = [ls.plux_split_static(X) for X in ms.Xtree]
+    return ms._xc_tree
+
+
+def _joint_xc(ms: ModelStatic, i: int, qi):
+    """Compact X = XJ(q) @ Xtree: plux(E1,r1)@plux(E2,r2) =
+    plux(E1 E2, r2 + E2^T r1).  Revolute: r1 = 0 -> r STATIC = r_t.
+    Prismatic: E1 = I -> E STATIC = E_t, r = r_t + E_t^T (axis q)."""
+    Et, rt = _split_xtree(ms)[i]
+    if ms.jtype[i] == PRISMATIC:
+        d = [ls._mul(float(a), qi) for a in ms.axis[i]]
+        return [row[:] for row in Et], ls.vadd(rt, ls.mtv3(Et, d))
+    s, c = jnp.sin(qi), jnp.cos(qi)
+    EJ = ls.rot3_coord(ms.axis[i], s, c)
+    return ls.matmat(EJ, Et), list(rt)
+
+
+def _body_xc(ms: ModelStatic, i: int, q):
+    """Compact per-body transform from the full q scalar list (fb root:
+    plux(R^T, p) @ Xtree -> E = R^T E_t, r = r_t + E_t^T p)."""
+    if ms.fb and i == 0:
+        Et, rt = _split_xtree(ms)[0]
+        if ms.quat:
+            R = ls.quat_R(q[3], q[4], q[5], q[6])
+        else:
+            sr, cr = jnp.sin(q[3]), jnp.cos(q[3])
+            sp, cp = jnp.sin(q[4]), jnp.cos(q[4])
+            sy, cy = jnp.sin(q[5]), jnp.cos(q[5])
+            R = ls.rpy_R(sr, cr, sp, cp, sy, cy)
+        Rt = [[R[j][i] for j in range(3)] for i in range(3)]  # R^T
+        E = ls.matmat(Rt, Et)
+        r = ls.vadd(rt, ls.mtv3(Et, [q[0], q[1], q[2]]))
+        return E, r
+    return _joint_xc(ms, i, q[ms.qi(i)])
+
+
 def _body_x(ms: ModelStatic, i: int, q):
     """Transform of body i from the full q scalar list (fb root = 6-DoF
     rpy+xyz joint, matching spatial.transforms.floating_spatial_x; quat root
@@ -131,14 +172,14 @@ def rnea_lane(ms: ModelStatic, q, qd, qdd=None, gravity: float = -9.81):
     X, v, a, f = [None] * nb, [None] * nb, [None] * nb, [None] * nb
     for i in range(nb):
         p = ms.parent[i]
-        Xi = _body_x(ms, i, q)
+        Xi = _body_xc(ms, i, q)
         vJ = _vj(ms, i, qd)
         if p == -1:
             vi = vJ
-            ai = ls.matvec(Xi, a_grav)
+            ai = ls.xc_mv(Xi, a_grav)
         else:
-            vi = ls.vadd(ls.matvec(Xi, v[p]), vJ)
-            ai = ls.matvec(Xi, a[p])
+            vi = ls.vadd(ls.xc_mv(Xi, v[p]), vJ)
+            ai = ls.xc_mv(Xi, a[p])
         ai = ls.vadd(ai, ls.cross_motion(vi, vJ))
         if qdd is not None:
             ai = ls.vadd(ai, _vj(ms, i, qdd))
@@ -155,13 +196,14 @@ def rnea_lane(ms: ModelStatic, q, qd, qdd=None, gravity: float = -9.81):
         else:
             tau[ms.vi(i)] = ls.dot(ms.S[i], f[i])
         if p != -1:
-            f[p] = ls.vadd(f[p], ls.matvec_T(X[i], f[i]))
+            f[p] = ls.vadd(f[p], ls.xc_mtv(X[i], f[i]))
     return tau
 
 
 def aba_lane(ms: ModelStatic, q, qd, tau, gravity: float = -9.81, X=None):
     """Lane-scalar ABA: returns qdd (list of n lane-scalars).  Pass
-    precomputed transforms via ``X`` to share them with other sweeps."""
+    precomputed COMPACT (E, r) transforms via ``X`` (``_body_xc``) to share
+    them with other sweeps."""
     nb = ms.nb
     a_grav = [0.0, 0.0, 0.0, 0.0, 0.0, -gravity]
     v, cb, pA = [None] * nb, [None] * nb, [None] * nb
@@ -169,13 +211,13 @@ def aba_lane(ms: ModelStatic, q, qd, tau, gravity: float = -9.81, X=None):
     IA = [[row[:] for row in ms.I[i]] for i in range(nb)]
     for i in range(nb):
         p = ms.parent[i]
-        Xi = X[i] if X[i] is not None else _body_x(ms, i, q)
+        Xi = X[i] if X[i] is not None else _body_xc(ms, i, q)
         vJ = _vj(ms, i, qd)
         if p == -1:
             vi = vJ
             ci = ls.vec6(0.0)
         else:
-            vi = ls.vadd(ls.matvec(Xi, v[p]), vJ)
+            vi = ls.vadd(ls.xc_mv(Xi, v[p]), vJ)
             ci = ls.cross_motion(vi, vJ)
         Iv = ls.matvec(ms.I[i], vi)
         X[i], v[i], cb[i] = Xi, vi, ci
@@ -195,24 +237,24 @@ def aba_lane(ms: ModelStatic, q, qd, tau, gravity: float = -9.81, X=None):
         ui = tau[ms.vi(i)] - ls.dot(S, pA[i])
         U[i], dinv[i], u_[i] = Ui, dinv_i, ui
         if p != -1:
-            Ia = ls.mat_sub(
-                IA[i], ls.mat_scale(dinv_i, ls.outer_vv(Ui, Ui))
+            Ia = ls.mat_combine_sym(
+                IA[i], ls.outer_sym(Ui), -dinv_i
             )
             pa = ls.vadd(
                 pA[i],
                 ls.vadd(ls.matvec(Ia, cb[i]), ls.vscale(ui * dinv_i, Ui)),
             )
-            IA[p] = ls.mat_add(IA[p], ls.xtax(X[i], Ia))
-            pA[p] = ls.vadd(pA[p], ls.matvec_T(X[i], pa))
+            IA[p] = ls.mat_add_sym(IA[p], ls.xc_xtax_sym(X[i], Ia))
+            pA[p] = ls.vadd(pA[p], ls.xc_mtv(X[i], pa))
 
     qdd = [None] * (ms.nv)
     acc = [None] * nb
     for i in range(nb):
         p = ms.parent[i]
         if p == -1:
-            ai = ls.matvec(X[i], a_grav)
+            ai = ls.xc_mv(X[i], a_grav)
         else:
-            ai = ls.matvec(X[i], acc[p])
+            ai = ls.xc_mv(X[i], acc[p])
         ai = ls.vadd(ai, cb[i])
         if ms.fb and i == 0:
             # qdd_root = IA0^{-1} (u - IA0 a) ... with U = D = IA0 (S = eye):
@@ -797,13 +839,108 @@ def rollout_fused(model: RobotModel, x0, U, dt: float,
     return xf
 
 
+def _step_lane(ms: ModelStatic, q_s, qd_s, u_s, dt, gravity, route="aba",
+               dense_minv=False):
+    """One forward-dynamics + semi-implicit-Euler step on lane scalars —
+    shared by the per-step and whole-horizon kernels.  Returns
+    (q_new, qd_new)."""
+    n = ms.nv
+    if route == "minv":
+        X = [_body_xc(ms, i, q_s) for i in range(ms.nb)]
+        _, _, _, c = _rnea_sweeps_lane(ms, X, qd_s, None, gravity)
+        uc = [u_s[j] - c[j] for j in range(n)]
+        if dense_minv:
+            Minv = minv_lane(ms, X)
+            qdd = [ls.dot(Minv[i], uc) for i in range(n)]
+        else:
+            qdd = aba_lane(ms, q_s, [0.0] * n, uc, gravity=0.0, X=X)
+    else:
+        qdd = aba_lane(ms, q_s, qd_s, u_s, gravity)
+    qd_new = [qd_s[i] + dt * qdd[i] for i in range(n)]
+    q_new = _integrate_q_lane(ms, q_s, qd_new, dt)
+    return q_new, qd_new
+
+
+def rollout_fused_multi(model: RobotModel, x0, U, dt: float,
+                        gravity: float = -9.81, route: str = "aba",
+                        block_lanes: int = 512,
+                        interpret: bool | None = None):
+    """Whole-horizon fused rollout: ONE pallas kernel invocation per batch
+    block executes EVERY time step, carrying the state in a VMEM scratch
+    accumulator across the sequential time axis of the grid while U[t]
+    blocks stream through the Pallas pipeline.
+
+    Why: the scan-of-step-kernels rollout is LAUNCH-BOUND, not op-bound —
+    measured ~27 us per fused-step launch at B=4096 on v5e (identical
+    runtime for the 3.7k-op dense-Minv and the 2.3k-op factorized step,
+    tools/audit_lane_ops.py), i.e. compute is ~5x cheaper than the per-step
+    kernel entry/exit.  Folding the time loop into the grid amortizes the
+    launch cost over H steps.
+
+    x0 (B, nx), U (H, B, nv) scan-major -> final state (B, nx).
+    route: "aba" (O(n) articulated) or "minv" (bias RNEA + factorized
+    M^-1 apply — BASELINE configs[1] semantics, see fd_step_minv_fused).
+    """
+    ms = get_static(model)
+    nq, n = ms.nq, ms.nv
+    nx = nq + n
+    H, B = U.shape[0], x0.shape[-2]
+    if interpret is None:
+        interpret = not _on_tpu()
+    Bp = _pad_batch(B)
+    if Bp != B:
+        x0 = jnp.concatenate(
+            [x0, jnp.zeros((Bp - B, nx), x0.dtype)], axis=0)
+        U = jnp.concatenate(
+            [U, jnp.zeros((H, Bp - B, n), U.dtype)], axis=1)
+    L = _pick_lanes(Bp, block_lanes)
+    nblocks = (Bp // 8) // L
+
+    U_pk = jnp.transpose(U, (0, 2, 1)).reshape(H, n, 8, Bp // 8)
+
+    def kernel(x0_ref, u_ref, out_ref, xs):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _init():
+            xs[...] = x0_ref[...]
+
+        q_s = [xs[i] for i in range(nq)]
+        qd_s = [xs[nq + i] for i in range(n)]
+        u_s = [u_ref[0, i] for i in range(n)]
+        q_new, qd_new = _step_lane(ms, q_s, qd_s, u_s, dt, gravity, route)
+        for i in range(nq):
+            xs[i] = q_new[i]
+        for i in range(n):
+            xs[nq + i] = qd_new[i]
+
+        @pl.when(t == H - 1)
+        def _fin():
+            out_ref[...] = xs[...]
+
+    spec_x = pl.BlockSpec((nx, 8, L), lambda b, t: (0, 0, b),
+                          memory_space=pltpu.VMEM)
+    spec_u = pl.BlockSpec((1, n, 8, L), lambda b, t: (t, 0, 0, b),
+                          memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nblocks, H),
+        in_specs=[spec_x, spec_u],
+        out_specs=spec_x,
+        out_shape=jax.ShapeDtypeStruct((nx, 8, Bp // 8), x0.dtype),
+        scratch_shapes=[pltpu.VMEM((nx, 8, L), x0.dtype)],
+        interpret=interpret,
+    )(_pack(x0, nx), U_pk)
+    return _unpack(out, Bp)[:B]
+
+
 # ----------------------------------------------------------------------- #
 # lane-scalar direct M^-1 (per-column unrolled; used by the step kernel)  #
 # ----------------------------------------------------------------------- #
 
 def minv_lane(ms: ModelStatic, X):
-    """Lane-scalar direct M^-1 (dense, symmetrized).  X: transform list from
-    ``_joint_x``/``_body_x``.  The subtree sparsity of the F matrices is
+    """Lane-scalar direct M^-1 (dense, symmetrized).  X: COMPACT (E, r)
+    transform list from ``_body_xc``.  The subtree sparsity of the F matrices is
     enforced FOR FREE by static-zero folding in lanescalar (columns outside a
     subtree stay python 0.0 and generate no code).  Floating base: the root is
     one 6-wide block solved with the unrolled 6x6 lane Cholesky (the dense
@@ -854,9 +991,9 @@ def minv_lane(ms: ModelStatic, X):
                 if not (ls.is_static(Minv[mi][c]) and Minv[mi][c] == 0.0):
                     Fic = ls.axpy(Minv[mi][c], Ui, Fic)
                 F[i][c] = Fic
-                F[p][c] = ls.vadd(F[p][c], ls.matvec_T(X[i], Fic))
-            Ia = ls.mat_sub(IA[i], ls.mat_scale(Dinv_i, ls.outer_vv(Ui, Ui)))
-            IA[p] = ls.mat_add(IA[p], ls.xtax(X[i], Ia))
+                F[p][c] = ls.vadd(F[p][c], ls.xc_mtv(X[i], Fic))
+            Ia = ls.mat_combine_sym(IA[i], ls.outer_sym(Ui), -Dinv_i)
+            IA[p] = ls.mat_add_sym(IA[p], ls.xc_xtax_sym(X[i], Ia))
     for i in range(nb):
         p = ms.parent[i]
         if p == -1:
@@ -870,7 +1007,7 @@ def minv_lane(ms: ModelStatic, X):
         else:
             mi = ms.vi(i)
             for c in range(n):
-                XF = ls.matvec(X[i], F[p][c])
+                XF = ls.xc_mv(X[i], F[p][c])
                 delta = ls._mul(-1.0, ls._mul(Dinv[i], ls.dot(U[i], XF)))
                 Minv[mi][c] = ls._add(Minv[mi][c], delta)
                 F[i][c] = ls.axpy(Minv[mi][c], ms.S[i], XF)
@@ -893,10 +1030,10 @@ def _rnea_sweeps_lane(ms: ModelStatic, X, qd, qdd, gravity):
         vJ = _vj(ms, i, qd)
         if p == -1:
             vi = vJ
-            ai = ls.matvec(X[i], a_grav)
+            ai = ls.xc_mv(X[i], a_grav)
         else:
-            vi = ls.vadd(ls.matvec(X[i], v[p]), vJ)
-            ai = ls.matvec(X[i], a[p])
+            vi = ls.vadd(ls.xc_mv(X[i], v[p]), vJ)
+            ai = ls.xc_mv(X[i], a[p])
         ai = ls.vadd(ai, ls.cross_motion(vi, vJ))
         if qdd is not None:
             ai = ls.vadd(ai, _vj(ms, i, qdd))
@@ -912,16 +1049,27 @@ def _rnea_sweeps_lane(ms: ModelStatic, X, qd, qdd, gravity):
         else:
             tau[ms.vi(i)] = ls.dot(ms.S[i], f[i])
         if p != -1:
-            f[p] = ls.vadd(f[p], ls.matvec_T(X[i], f[i]))
+            f[p] = ls.vadd(f[p], ls.xc_mtv(X[i], f[i]))
     return v, a, f, tau
 
 
 def fd_step_minv_fused(model: RobotModel, x, u, dt: float,
                        gravity: float = -9.81, block_lanes: int = 512,
-                       interpret: bool | None = None):
+                       interpret: bool | None = None,
+                       dense_minv: bool = False):
     """Fused forward-dynamics step on the Minv + RNEA route (BASELINE.json
-    configs[1]): bias RNEA -> direct Minv -> qdd = Minv (u - c) -> semi-
-    implicit Euler, all in ONE pallas kernel.  x (B, 2n), u (B, n) -> (B, 2n)."""
+    configs[1]): bias RNEA -> qdd = M^-1 (u - c) -> semi-implicit Euler, all
+    in ONE pallas kernel.  x (B, 2n), u (B, n) -> (B, 2n).
+
+    The M^-1 application uses the articulated-inertia FACTORIZATION applied
+    to the single rhs vector — ``aba_lane`` with statically-zero velocity
+    and zero gravity, whose first sweep constant-folds away, leaving exactly
+    the Carpentier M^-1 operator's backward factorization + forward solve
+    (the same operator ``minv_lane`` materializes densely; identical result
+    up to f32 rounding, O(n) instead of O(n^2) lane ops — the dense inverse
+    is only worth building when the full matrix is consumed, e.g. the
+    linearization kernels).  ``dense_minv=True`` keeps the explicit dense
+    route (used by the equivalence tests to pin both paths)."""
     ms = get_static(model)
     nq, n = ms.nq, ms.nv
     nx = nq + n
@@ -940,11 +1088,15 @@ def fd_step_minv_fused(model: RobotModel, x, u, dt: float,
         q_s = [x_ref[i] for i in range(nq)]
         qd_s = [x_ref[nq + i] for i in range(n)]
         u_s = [u_ref[i] for i in range(n)]
-        X = [_body_x(ms, i, q_s) for i in range(ms.nb)]
+        X = [_body_xc(ms, i, q_s) for i in range(ms.nb)]
         _, _, _, c = _rnea_sweeps_lane(ms, X, qd_s, None, gravity)
-        Minv = minv_lane(ms, X)
         uc = [u_s[j] - c[j] for j in range(n)]
-        qdd = [ls.dot(Minv[i], uc) for i in range(n)]
+        if dense_minv:
+            Minv = minv_lane(ms, X)
+            qdd = [ls.dot(Minv[i], uc) for i in range(n)]
+        else:
+            zero_qd = [0.0] * n
+            qdd = aba_lane(ms, q_s, zero_qd, uc, gravity=0.0, X=X)
         qd_new = [qd_s[i] + dt * qdd[i] for i in range(n)]
         q_new = _integrate_q_lane(ms, q_s, qd_new, dt)
         for i in range(n):

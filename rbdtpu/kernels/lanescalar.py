@@ -383,6 +383,192 @@ def floating_x(Xtree_static, px, py, pz, R):
     return matmat(X, Xtree_static)
 
 
+# ----------------------------------------------------------------------- #
+# compact Plücker transforms: X = plux(E, r) = [[E, 0], [-E r̂, E]]         #
+#                                                                         #
+# The dense 6x6 lane representation wastes both ops and live registers    #
+# (the step kernels are register-pressure/VMEM-spill bound, not ALU       #
+# bound — tools/audit_lane_ops.py): a spatial transform is fully          #
+# determined by its 3x3 rotation E and translation r, and for every       #
+# 1-DoF joint X = XJ(q) @ Xtree has r = Xtree's STATIC translation        #
+# (plux(E1,r1) @ plux(E2,r2) = plux(E1 E2, r2 + E2^T r1); XJ has r1 = 0). #
+# Costs per op (dense -> compact): matvec 66 -> ~39, matvec_T 66 -> ~39,  #
+# symmetric congruence X^T A X 1452 -> ~400, live scalars 36 -> 9.        #
+# ----------------------------------------------------------------------- #
+
+def plux_split_static(X66):
+    """Host-side: static dense 6x6 motion transform -> (E, r) python floats.
+    X = [[E, 0], [-E r̂, E]]  =>  r̂ = -E^T @ X[3:6, 0:3]."""
+    E = [[float(X66[i][j]) for j in range(3)] for i in range(3)]
+    BL = [[float(X66[3 + i][j]) for j in range(3)] for i in range(3)]
+    rh = [
+        [-sum(E[k][i] * BL[k][j] for k in range(3)) for j in range(3)]
+        for i in range(3)
+    ]
+    return E, [rh[2][1], rh[0][2], rh[1][0]]
+
+
+def cross3(a, b):
+    """a x b for 3-lists of lane-scalars/statics (static entries fold)."""
+    return [
+        _add(_mul(a[1], b[2]), _mul(-1.0, _mul(a[2], b[1]))),
+        _add(_mul(a[2], b[0]), _mul(-1.0, _mul(a[0], b[2]))),
+        _add(_mul(a[0], b[1]), _mul(-1.0, _mul(a[1], b[0]))),
+    ]
+
+
+def mv3(E, a):
+    """E @ a for 3x3 nested E, 3-list a."""
+    return [dot(E[i], a) for i in range(3)]
+
+
+def mtv3(E, a):
+    """E^T @ a."""
+    return [dot([E[k][i] for k in range(3)], a) for i in range(3)]
+
+
+def xc_mv(X, m):
+    """Compact X @ m (== dense matvec for any 6-vector):
+    [E a; E (b - r x a)] with m = [a; b]."""
+    E, r = X
+    a, b = m[0:3], m[3:6]
+    rxa = cross3(r, a)
+    t = [_add(bi, _mul(-1.0, ci)) for bi, ci in zip(b, rxa)]
+    return mv3(E, a) + mv3(E, t)
+
+
+def xc_mtv(X, f):
+    """Compact X^T @ f (== dense matvec_T for any 6-vector):
+    [E^T n + r x (E^T fl); E^T fl] with f = [n; fl]."""
+    E, r = X
+    n_, fl = f[0:3], f[3:6]
+    t = mtv3(E, fl)
+    top = [_add(x, y) for x, y in zip(mtv3(E, n_), cross3(r, t))]
+    return top + t
+
+
+def _rot_sym3(E, S):
+    """E^T S E for SYMMETRIC 3x3 S; returns symmetric nested list with
+    aliased lower triangle."""
+    T = [
+        [dot([E[k][i] for k in range(3)], [S[k][j] for k in range(3)])
+         for j in range(3)]
+        for i in range(3)
+    ]
+    C = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(i, 3):
+            C[i][j] = dot(T[i], [E[k][j] for k in range(3)])
+            C[j][i] = C[i][j]
+    return C
+
+
+def _rot_full3(E, B):
+    """E^T B E for general 3x3 B."""
+    T = [
+        [dot([E[k][i] for k in range(3)], [B[k][j] for k in range(3)])
+         for j in range(3)]
+        for i in range(3)
+    ]
+    return [
+        [dot(T[i], [E[k][j] for k in range(3)]) for j in range(3)]
+        for i in range(3)
+    ]
+
+
+def xc_xtax_sym(X, A):
+    """X^T A X for SYMMETRIC 6x6 A (== dense xtax there), exploiting the
+    plux block structure: X = blockdiag(E,E) @ plux(I, r), so
+    X^T A X = T^T (R^T A R) T with the r-translation static-folding.
+    Returns a symmetric 6x6 nested list (lower triangle aliased)."""
+    E, r = X
+    A11 = [row[0:3] for row in A[0:3]]
+    A12 = [row[3:6] for row in A[0:3]]
+    A22 = [row[3:6] for row in A[3:6]]
+    C11 = _rot_sym3(E, A11)
+    C12 = _rot_full3(E, A12)
+    C22 = _rot_sym3(E, A22)
+    # row i of (B r̂) = B_i x r ;  col j of (r̂ B) = r x B_col_j
+    C12r = [cross3(C12[i], r) for i in range(3)]          # C12 r̂
+    C22r = [cross3(C22[i], r) for i in range(3)]          # C22 r̂
+    rC22r = [[None] * 3 for _ in range(3)]                # r̂ (C22 r̂)
+    for j in range(3):
+        col = cross3(r, [C22r[k][j] for k in range(3)])
+        for i in range(3):
+            rC22r[i][j] = col[i]
+    rC22 = [[None] * 3 for _ in range(3)]                 # r̂ C22
+    for j in range(3):
+        col = cross3(r, [C22[k][j] for k in range(3)])
+        for i in range(3):
+            rC22[i][j] = col[i]
+    D = mat66(0.0)
+    # D11 = C11 - C12 r̂ - (C12 r̂)^T - r̂ C22 r̂   (symmetric)
+    for i in range(3):
+        for j in range(i, 3):
+            v = _add(
+                C11[i][j],
+                _mul(-1.0, _add(_add(C12r[i][j], C12r[j][i]), rC22r[i][j])),
+            )
+            D[i][j] = v
+            D[j][i] = v
+    # D12 = C12 + r̂ C22 ; D21 = D12^T ; D22 = C22
+    for i in range(3):
+        for j in range(3):
+            v = _add(C12[i][j], rC22[i][j])
+            D[i][3 + j] = v
+            D[3 + j][i] = v
+            D[3 + i][3 + j] = C22[i][j]
+    return D
+
+
+def outer_sym(u):
+    """u u^T with the lower triangle ALIASED to the upper (half the mul ops
+    reach Mosaic; CSE-independent)."""
+    n = len(u)
+    M = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i, n):
+            M[i][j] = _mul(u[i], u[j])
+            M[j][i] = M[i][j]
+    return M
+
+
+def mat_combine_sym(A, B, beta):
+    """A + beta * B for SYMMETRIC A, B (upper computed once, lower aliased)."""
+    n = len(A)
+    M = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i, n):
+            M[i][j] = _add(A[i][j], _mul(beta, B[i][j]))
+            M[j][i] = M[i][j]
+    return M
+
+
+def mat_add_sym(A, B):
+    """A + B for SYMMETRIC A, B (aliased lower triangle)."""
+    n = len(A)
+    M = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i, n):
+            M[i][j] = _add(A[i][j], B[i][j])
+            M[j][i] = M[i][j]
+    return M
+
+
+def xc_dense(X):
+    """Materialize the dense 6x6 from compact (E, r): [[E,0],[-E r̂,E]];
+    row i of E r̂ = E_i x r, so BL_i = r x E_i."""
+    E, r = X
+    M = mat66(0.0)
+    for i in range(3):
+        BLi = cross3(r, E[i])
+        for j in range(3):
+            M[i][j] = E[i][j]
+            M[3 + i][3 + j] = E[i][j]
+            M[3 + i][j] = BLi[j]
+    return M
+
+
 def cholesky6(M):
     """Cholesky of a 6x6 SPD nested list of lane-scalars, fully unrolled."""
     import jax.numpy as jnp

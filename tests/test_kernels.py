@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from conftest import random_state
+
 from rbdtpu import dynamics as dyn
 from rbdtpu.kernels import rnea_fused, fd_step_fused, rollout_fused
 from rbdtpu.solver import euler_semi_implicit, split_state
@@ -715,3 +717,44 @@ def test_ee_gn_fused_floating_base(quadruped12fb, rng):
     for a, b in zip(quadratize_trajectory(c_f, X, U),
                     quadratize_trajectory(c_j, X, U)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+
+def test_rollout_fused_multi_matches_step_scan(arm7, quadruped12quat, rng):
+    """Whole-horizon kernel (r4: time loop in the grid, VMEM-scratch state
+    carry) is BIT-EXACT vs the scan-of-step-kernels path, both routes, all
+    root types, including the dense-Minv variant identity."""
+    from rbdtpu.kernels.fused import (
+        rollout_fused_multi, fd_step_fused, fd_step_minv_fused,
+    )
+
+    for model in (arm7, quadruped12quat):
+        q, qd, _ = random_state(rng, model, batch=(16,))
+        x0 = jnp.asarray(np.concatenate([q, 0.3 * qd], -1))
+        H = 6
+        U = jnp.asarray(rng.uniform(-0.5, 0.5, (H, 16, model.nv)))
+        for route, step in (("aba", fd_step_fused),
+                            ("minv", fd_step_minv_fused)):
+            xm = rollout_fused_multi(model, x0, U, 0.01, route=route)
+            x = x0
+            for t in range(H):
+                x = step(model, x, U[t], 0.01)
+            np.testing.assert_array_equal(
+                np.asarray(xm), np.asarray(x),
+                err_msg=f"{model.name} {route}",
+            )
+
+
+def test_fd_step_minv_factorized_equals_dense(arm7, quadruped12fb, rng):
+    """The factorized M^-1 apply (aba_lane with statically-zero velocity and
+    zero gravity) equals the dense minv_lane route at machine precision —
+    the algebraic identity behind fd_step_minv_fused's default."""
+    from rbdtpu.kernels.fused import fd_step_minv_fused
+
+    for model in (arm7, quadruped12fb):
+        q, qd, tau = random_state(rng, model, batch=(8,))
+        x = jnp.asarray(np.concatenate([q, qd], -1))
+        u = jnp.asarray(tau)
+        xs = fd_step_minv_fused(model, x, u, 0.01)
+        xd = fd_step_minv_fused(model, x, u, 0.01, dense_minv=True)
+        np.testing.assert_allclose(np.asarray(xs), np.asarray(xd),
+                                   atol=1e-12)

@@ -73,15 +73,23 @@ def timed(name, fn, *args, reps=20, calls=4):
 
         return jax.lax.scan(body, 0, eps_seq)[1]
 
+    def fetch(out):
+        # HOST-FETCH sync: block_until_ready can return before the work is
+        # done through the axon tunnel (r4 finding — identical-args repeat
+        # calls read ~0.06 ms); reading leaves to host is the reliable sync
+        return jax.tree.util.tree_reduce(
+            lambda a, x: a + float(jnp.ravel(x)[0]), out, 0.0
+        )
+
     f = jax.jit(prog)
-    eps = jnp.zeros((reps,), jnp.float32)
     t0 = time.perf_counter()
-    jax.block_until_ready(f(eps, *args))
+    fetch(f(jnp.zeros((reps,), jnp.float32), *args))
     compile_s = time.perf_counter() - t0
     best = float("inf")
-    for _ in range(calls):
+    for c in range(calls):
+        eps = jnp.full((reps,), (c + 1) * 1e-9, jnp.float32)
         t0 = time.perf_counter()
-        jax.block_until_ready(f(eps, *args))
+        fetch(f(eps, *args))
         best = min(best, time.perf_counter() - t0)
     per = best / reps
     print(f"{name:12s} {per * 1e3:8.3f} ms/exec   (compile {compile_s:.1f}s)")
