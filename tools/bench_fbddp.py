@@ -51,15 +51,16 @@ def main():
         )  # J_hist (iters, B)
         t0 = time.perf_counter()
         Jh = f(x0, U0)
-        Jh.block_until_ready()
+        _ = float(Jh[0, 0])  # host-fetch sync (r4: block_until_ready can
+        # return early through the tunnel)
         print(f"{name}: compile+1 {time.perf_counter()-t0:.1f}s", flush=True)
         best = float("inf")
-        for _ in range(4):
+        for i in range(4):
             t0 = time.perf_counter()
-            Jh = f(x0, U0)
-            Jh.block_until_ready()
+            Jh = f(x0 + (i + 1) * 1e-6, U0)
+            _ = float(Jh[0, 0])
             best = min(best, time.perf_counter() - t0)
-        Jh = np.asarray(Jh)  # (iters, B)
+        Jh = np.asarray(f(x0, U0))  # (iters, B)
         Jm = Jh.mean(axis=-1)
         results[name] = (best, Jm)
         print(f"{name}: {best*1e3:.1f} ms / {Bm} solves x {iters} iters "
