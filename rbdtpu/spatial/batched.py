@@ -1,29 +1,49 @@
-"""Batched small-matrix primitives tuned for the TPU VPU.
+"""Batched small-matrix primitives tuned for the TPU.
 
-XLA lowers batched tiny dot_generals ((B,6,6)@(B,6,6)-style) through the MXU
-path with poor utilization; expressing them as broadcast-multiply-reduce keeps
-them in VPU fusions — measured ~2.6x faster on the articulated-inertia chain
-(v5e, B=4096).  All helpers contract over a size-6/size-n axis with arbitrary
-leading batch dims; shapes follow the (..., rows, cols) convention of the rest
-of the package.
+Two regimes, dispatched on the contraction size (r4):
+
+- TINY (< _MXU_MIN, the 6-D spatial algebra): XLA lowers batched tiny
+  dot_generals ((B,6,6)@(B,6,6)-style) through the MXU path with poor
+  utilization; broadcast-multiply-reduce keeps them in VPU fusions —
+  measured ~2.6x faster on the articulated-inertia chain (v5e, B=4096).
+- MXU dot_general (>= _MXU_MIN): MEASURED A LOSS at every size tried
+  (tools/bench_mxu_dispatch.py, v5e 2026-08-20: Riccati backward sweep
+  einsum-vs-broadcast — arm7 B=128 nx=14: 7.92 vs 3.53 ms; quadruped
+  B=1024 nx=36: 85.9 vs 45.6 ms).  XLA lowers batch-of-small gemms poorly
+  on the MXU even at 36x36, so the threshold is parked at infinity and the
+  broadcast form is used everywhere; the dispatch stays so the decision is
+  one measured constant away if a future XLA improves batched gemms.
+
+All helpers contract over the trailing axes with arbitrary leading batch
+dims; shapes follow the (..., rows, cols) convention of the package.
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 
+# contraction size at or above which the MXU dot_general path would engage:
+# parked at infinity — measured a 2x LOSS at nx=14 and nx=36 (see header)
+_MXU_MIN = 10**9
+
 
 def mm(A, B):
     """A @ B for (..., i, j) x (..., j, k) -> (..., i, k)."""
+    if A.shape[-1] >= _MXU_MIN:
+        return jnp.einsum("...ij,...jk->...ik", A, B)
     return (A[..., :, :, None] * B[..., None, :, :]).sum(-2)
 
 
 def mtm(A, B):
     """A^T @ B for (..., j, i) x (..., j, k) -> (..., i, k)."""
+    if A.shape[-2] >= _MXU_MIN:
+        return jnp.einsum("...ji,...jk->...ik", A, B)
     return (A[..., :, :, None] * B[..., :, None, :]).sum(-3)
 
 
 def mmt(A, B):
     """A @ B^T for (..., i, j) x (..., k, j) -> (..., i, k)."""
+    if A.shape[-1] >= _MXU_MIN:
+        return jnp.einsum("...ij,...kj->...ik", A, B)
     return (A[..., :, None, :] * B[..., None, :, :]).sum(-1)
 
 

@@ -49,8 +49,12 @@ def main():
           f"chunked={feedback_chunked_ok(model, bt)}", flush=True)
 
     which = sys.argv[4] if len(sys.argv) > 4 else "both"
-    arms = {"jnp": [("jnp", False)], "fused": [("fused-auto", None)],
-            "both": [("jnp", False), ("fused-auto", None)]}[which]
+    # NOTE r4: auto mode (fused_feedback=None) STOPS at the unchunked
+    # kernel since the r3b demotion — the chunked tier only engages with
+    # fused_feedback=True, so that is what the fused arm must pass (the
+    # pre-demotion tool passed None, which NOW measures the jnp pass twice)
+    arms = {"jnp": [("jnp", False)], "fused": [("chunked", True)],
+            "both": [("jnp", False), ("chunked", True)]}[which]
     for name, fb in arms:
         cfg = DDPConfig(iters=iters, dt=0.01, n_alphas=4, fused=True,
                         fused_feedback=fb)
