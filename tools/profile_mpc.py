@@ -77,7 +77,7 @@ def timed(name, fn, *args, reps=20, calls=4):
         # HOST-FETCH sync: block_until_ready can return before the work is
         # done through the axon tunnel (r4 finding — identical-args repeat
         # calls read ~0.06 ms); reading leaves to host is the reliable sync
-        return jax.tree.util.tree_reduce(
+        return jax.tree_util.tree_reduce(
             lambda a, x: a + float(jnp.ravel(x)[0]), out, 0.0
         )
 
