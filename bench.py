@@ -108,11 +108,15 @@ def timed_solve_rate(solve_J, x0, U0, batch, reps, calls=4, label=""):
 
     t0 = time.perf_counter()
     J1 = solve_J(x0, U0)
-    jm = float(jnp.mean(J1))
+    finite = jnp.isfinite(J1)
+    frac = float(jnp.mean(finite.astype(jnp.float32)))
+    jm = float(jnp.where(finite, J1, 0.0).sum()
+               / jnp.maximum(finite.sum(), 1))
     log(f"{label} compile+1: {time.perf_counter() - t0:.1f}s "
-        f"finite_frac="
-        f"{float(jnp.mean(jnp.isfinite(J1).astype(jnp.float32))):.3f}")
-    assert np.isfinite(jm), f"{label}: non-finite mean J"
+        f"finite_frac={frac:.3f} meanJ_finite={jm:.3f}")
+    # a few diverged scenarios must not zero the metric (they never did in
+    # the pre-r4 arms, which only logged finite_frac); all-NaN = broken arm
+    assert frac > 0.0, f"{label}: every solve non-finite"
     float(many(x0, U0, jnp.asarray(0.0, x0.dtype)))  # compile + sync
     best = float("inf")
     for i in range(calls):
@@ -312,16 +316,25 @@ def _lane_op_census(model):
                                       route="minv")
         return q_new + qd_new
 
+    # same issue-slot weights as tools/audit_lane_ops.py (divides, sqrt and
+    # transcendentals occupy multiple VPU passes; container eqns with
+    # sub-jaxprs are walked, not counted) so the captured roofline and the
+    # audit tool agree on one bound
+    weights = {"div": 8, "sqrt": 8, "rsqrt": 8, "sin": 12, "cos": 12,
+               "integer_pow": 2}
     jaxpr = jax.make_jaxpr(body)(*args)
     n = 0
 
     def walk(jx):
         nonlocal n
         for eqn in jx.eqns:
+            has_sub = False
             for sub in eqn.params.values():
                 if hasattr(sub, "jaxpr"):
                     walk(sub.jaxpr)
-            n += 1
+                    has_sub = True
+            if not has_sub:
+                n += weights.get(eqn.primitive.name, 1)
 
     walk(jaxpr.jaxpr)
     return n

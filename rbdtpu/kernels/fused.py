@@ -422,9 +422,8 @@ def fd_step_fused(model: RobotModel, x, u, dt: float,
         q_s = [x_ref[i] for i in range(nq)]
         qd_s = [x_ref[nq + i] for i in range(nv)]
         tau_s = [u_ref[i] for i in range(nv)]
-        qdd = aba_lane(ms, q_s, qd_s, tau_s, gravity)
-        qd_new = [qd_s[i] + dt * qdd[i] for i in range(nv)]
-        q_new = _integrate_q_lane(ms, q_s, qd_new, dt)
+        q_new, qd_new = _step_lane(ms, q_s, qd_s, tau_s, dt, gravity,
+                                   route="aba")
         for i in range(nv):
             out_ref[nq + i] = qd_new[i]
         for i in range(nq):
@@ -861,10 +860,29 @@ def _step_lane(ms: ModelStatic, q_s, qd_s, u_s, dt, gravity, route="aba",
     return q_new, qd_new
 
 
+def rollout_multi_ok(model: RobotModel, B: int, H: int, route: str,
+                     dtype=jnp.float32) -> bool:
+    """COMPILE PROBE for the whole-horizon rollout kernel at this (B, H)
+    (kernels.probe): False -> callers fall back to the scan-of-step-kernels
+    path instead of risking a Mosaic-side crash."""
+    from .probe import probe_ok
+
+    ms = get_static(model)
+    nx = ms.nq + ms.nv
+    sds = lambda *sh: jax.ShapeDtypeStruct(sh, jnp.dtype(dtype))
+    fn = lambda x0_, U_: rollout_fused_multi(model, x0_, U_, 0.01,
+                                             route=route, probe=False)
+    args = (sds(B, nx), sds(H, B, ms.nv))
+    key = (model.parent, model.joint_type, model.floating_base,
+           model.root_quat, route, B, H, jnp.dtype(dtype).name)
+    return probe_ok("rollout_multi", key, fn, args, on_tpu=_on_tpu())
+
+
 def rollout_fused_multi(model: RobotModel, x0, U, dt: float,
                         gravity: float = -9.81, route: str = "aba",
                         block_lanes: int = 512,
-                        interpret: bool | None = None):
+                        interpret: bool | None = None,
+                        probe: bool = True):
     """Whole-horizon fused rollout: ONE pallas kernel invocation per batch
     block executes EVERY time step, carrying the state in a VMEM scratch
     accumulator across the sequential time axis of the grid while U[t]
@@ -887,6 +905,15 @@ def rollout_fused_multi(model: RobotModel, x0, U, dt: float,
     H, B = U.shape[0], x0.shape[-2]
     if interpret is None:
         interpret = not _on_tpu()
+    if probe and not interpret and not rollout_multi_ok(
+            model, B, H, route, x0.dtype):
+        # graceful degradation (kernels.probe): per-step fused kernels
+        step = fd_step_fused if route == "aba" else fd_step_minv_fused
+
+        def one(x, u):
+            return step(model, x, u, dt, gravity), None
+
+        return jax.lax.scan(one, x0, U)[0]
     Bp = _pad_batch(B)
     if Bp != B:
         x0 = jnp.concatenate(
@@ -1088,17 +1115,8 @@ def fd_step_minv_fused(model: RobotModel, x, u, dt: float,
         q_s = [x_ref[i] for i in range(nq)]
         qd_s = [x_ref[nq + i] for i in range(n)]
         u_s = [u_ref[i] for i in range(n)]
-        X = [_body_xc(ms, i, q_s) for i in range(ms.nb)]
-        _, _, _, c = _rnea_sweeps_lane(ms, X, qd_s, None, gravity)
-        uc = [u_s[j] - c[j] for j in range(n)]
-        if dense_minv:
-            Minv = minv_lane(ms, X)
-            qdd = [ls.dot(Minv[i], uc) for i in range(n)]
-        else:
-            zero_qd = [0.0] * n
-            qdd = aba_lane(ms, q_s, zero_qd, uc, gravity=0.0, X=X)
-        qd_new = [qd_s[i] + dt * qdd[i] for i in range(n)]
-        q_new = _integrate_q_lane(ms, q_s, qd_new, dt)
+        q_new, qd_new = _step_lane(ms, q_s, qd_s, u_s, dt, gravity,
+                                   route="minv", dense_minv=dense_minv)
         for i in range(n):
             out_ref[nq + i] = qd_new[i]
         for i in range(nq):

@@ -297,11 +297,16 @@ def forward_pass(model: RobotModel, cost: Cost, X, U, k, K, alphas, dt,
     X (..., H+1, nx), U/k (..., H, nv), K (..., H, nv, nx), alphas (n_alpha,).
     u_clip: optional (nv,) box bound; applied controls are clamped to
     [-u_clip, u_clip].  f_ext: optional (H, NB, 6) per-knot disturbance
-    wrenches (pre-normalized); when given, step_fn must accept (x, u, fe).
+    wrenches (pre-normalized); a caller-supplied step_fn must then accept
+    (x, u, fe) — the default step handles both arities.
     Returns (Xs, Us, Js) with a leading n_alpha axis before the batch dims.
     """
     if step_fn is None:
-        step_fn = lambda x, u: _step_plain(model, x, u, dt, gravity)
+        if f_ext is not None:
+            step_fn = lambda x, u, fe: _step_plain(model, x, u, dt, gravity,
+                                                   f_ext=fe)
+        else:
+            step_fn = lambda x, u: _step_plain(model, x, u, dt, gravity)
     n_alpha = alphas.shape[0]
     batch = U.shape[:-2]
     # broadcast against (n_alpha, *batch, nv) control vectors
@@ -475,7 +480,11 @@ def ddp_solve(
         and config.fused_feedback is not False
         and feedback_fused_ok(model, batch_flat * config.n_alphas, x0.dtype)
     )
-    if not use_fused_fwd and config.fused and config.fused_feedback is True:
+    if (not use_fused_fwd and config.fused and F is None
+            and config.fused_feedback is True):
+        # F is None guard as above: the chunked tier has no wrench input
+        # either — without it a disturbed solve would silently line-search
+        # UNDISTURBED rollouts
         fwd_nchunks = feedback_chunked_ok(
             model, batch_flat * config.n_alphas, x0.dtype
         )

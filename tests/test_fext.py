@@ -177,3 +177,61 @@ def test_mppi_and_hybrid_accept_fext(arm7, rng):
         mppi_iters=2, f_ext=fe,
     )
     assert bool(jnp.all(jnp.isfinite(state.J)))
+
+
+def test_forward_pass_default_step_with_fext(arm7, rng):
+    """forward_pass's DEFAULT step must handle f_ext (r4 review fix: it
+    built a 2-arg step and then called it with 3 args -> TypeError)."""
+    from rbdtpu.solver.ddp import forward_pass
+    from rbdtpu.solver import quadratic_tracking_cost
+
+    model = arm7
+    H, dt = 5, 0.01
+    q, qd, _ = random_state(rng, model)
+    x0 = jnp.asarray(np.concatenate([q, 0.0 * qd], -1))
+    X = jnp.broadcast_to(x0, (H + 1, x0.shape[-1]))
+    U = jnp.zeros((H, model.nv))
+    k = jnp.zeros((H, model.nv))
+    K = jnp.zeros((H, model.nv, model.nq + model.nv))
+    F = jnp.zeros((H, model.nb, 6)).at[:, model.nb - 1, 3].set(20.0)
+    cost = quadratic_tracking_cost(model, jnp.zeros(model.nq + model.nv))
+    Xs, Us, Js = forward_pass(
+        model, cost, X, U, k, K, jnp.array([1.0]), dt, -9.81, f_ext=F
+    )
+    assert bool(jnp.all(jnp.isfinite(Js)))
+    # and it really applied the wrench: differs from the undisturbed pass
+    Xs0, _, _ = forward_pass(
+        model, cost, X, U, k, K, jnp.array([1.0]), dt, -9.81
+    )
+    assert float(jnp.abs(Xs - Xs0).max()) > 1e-6
+
+
+def test_ddp_fext_never_uses_wrenchless_fused_forward(quadruped12fb, rng,
+                                                      monkeypatch):
+    """r4 review fix: with fused_feedback=True the chunked-tier fallback
+    re-enabled the (wrench-less) fused forward pass even when f_ext was
+    given.  Force the chunked gate to report available and assert the
+    disturbed solve still matches the plain-config disturbed solve."""
+    import rbdtpu.solver.ddp as ddp_mod
+
+    model = quadruped12fb
+    B, H, dt = 2, 6, 0.01
+    q0 = np.zeros((B, model.nq))
+    q0[:, 2] = 0.35
+    x0 = jnp.asarray(np.concatenate([q0, np.zeros((B, model.nv))], -1))
+    fe = jnp.zeros((model.nb, 6)).at[0, 3].set(40.0)
+    x_goal = jnp.zeros(model.nq + model.nv).at[2].set(0.35)
+    cost = quadratic_tracking_cost(model, x_goal, w_q=2.0, w_qd=0.05,
+                                   w_u=1e-5)
+    U0 = jnp.zeros((B, H, model.nv))
+    # pretend the chunked tier fits (as on TPU at large batch)
+    import rbdtpu.kernels.fused as kf
+
+    monkeypatch.setattr(kf, "feedback_chunked_ok", lambda *a, **k: 2)
+    cfg_chunk = DDPConfig(iters=2, dt=dt, n_alphas=3, fused=True,
+                          fused_feedback=True, fused_linearize=False)
+    cfg_plain = DDPConfig(iters=2, dt=dt, n_alphas=3)
+    st_c, _ = ddp_solve(model, cost, x0, U0, cfg_chunk, f_ext=fe)
+    st_p, _ = ddp_solve(model, cost, x0, U0, cfg_plain, f_ext=fe)
+    np.testing.assert_allclose(np.asarray(st_c.J), np.asarray(st_p.J),
+                               rtol=1e-6)
