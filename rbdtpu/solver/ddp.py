@@ -90,9 +90,14 @@ class DDPConfig:
     # Bm=256/H=32 — hence opt-in); False = force the jnp forward pass (used
     # by equivalence tests)
     fused_feedback: bool | None = None
-    # fused lane-scalar Riccati backward sweep (kernels.riccati): True =
-    # on (iLQR branch only, arm-class nx, batch fits — riccati_fused_ok);
-    # None/False = jnp sweep.  Opt-in until its TPU win is measured
+    # fused Riccati backward sweep.  Two kernels by size regime:
+    # lane-scalar (kernels.riccati, arm-class nx <= 16 — measured LOSS at
+    # arm B=128, stays opt-in) and the chunked-batch VMEM-resident sweep
+    # (kernels.riccati_chunk, nx ~24-40 — measured 2.7x over the jnp sweep
+    # at quadruped B=1024/nx=36, the #1 solver phase there).  None = AUTO:
+    # chunked kernel when the probe passes and nx is in its measured win
+    # regime; True = force-try fused (lane-scalar at small nx, chunked
+    # otherwise); False = always the jnp sweep (equivalence tests)
     fused_riccati: bool | None = None
     # box control limits from the model's URDF <limit effort> bounds
     # (model.u_limit_vector): clamp every applied control in the line-search
@@ -489,18 +494,38 @@ def ddp_solve(
             model, batch_flat * config.n_alphas, x0.dtype
         )
         use_fused_fwd = fwd_nchunks is not None
-    # fused Riccati backward sweep (opt-in; see DDPConfig.fused_riccati)
+    # fused Riccati backward sweep (see DDPConfig.fused_riccati).  Auto
+    # policy (measured, BASELINE.md r5): the chunked VMEM-resident kernel
+    # wins at quadruped-class nx (2.7x at nx=36 B=1024); the lane-scalar
+    # kernel measured a LOSS at arm nx=14, so small nx stays jnp unless
+    # forced.  use_fused_bwd selects lane-scalar, use_chunk_bwd the chunked
+    # kernel; both match the iLQR branch only.
     nx_dim = model.nq + model.nv if not model.root_quat else 2 * model.nv
-    if config.fused_riccati:
-        from ..kernels.riccati import riccati_fused_ok
+    use_fused_bwd = False
+    use_chunk_bwd = False
+    if not config.exact_hessians and not use_parallel:
+        if config.fused_riccati and nx_dim <= 16:
+            from ..kernels.riccati import riccati_fused_ok
 
-        use_fused_bwd = (
-            not config.exact_hessians
-            and not use_parallel
-            and riccati_fused_ok(nx_dim, model.nv, batch_flat, x0.dtype)
-        )
-    else:
-        use_fused_bwd = False
+            use_fused_bwd = riccati_fused_ok(
+                nx_dim, model.nv, batch_flat, x0.dtype
+            )
+        else:
+            from ..kernels.fused import _on_tpu
+            from ..kernels.riccati_chunk import riccati_chunk_ok
+
+            # auto engages on TPU only: off-TPU the kernel would run in
+            # interpret mode (tests opt in explicitly with
+            # fused_riccati=True at small sizes)
+            want = (
+                config.fused_riccati
+                or (config.fused_riccati is None and nx_dim >= 24
+                    and _on_tpu())
+            )
+            if want:
+                use_chunk_bwd = riccati_chunk_ok(
+                    nx_dim, model.nv, batch_flat, x0.dtype
+                )
 
     X0 = roll0(x0, U0)
     J0 = trajectory_cost(cost, X0, U0)
@@ -541,6 +566,12 @@ def ddp_solve(
             from ..kernels.riccati import backward_pass_fused
 
             k, K, dV1, ok = backward_pass_fused(
+                A, B, lx, lu, lxx, luu, lux, lfx, lfxx, state.reg
+            )
+        elif use_chunk_bwd:
+            from ..kernels.riccati_chunk import backward_pass_chunked
+
+            k, K, dV1, ok = backward_pass_chunked(
                 A, B, lx, lu, lxx, luu, lux, lfx, lfxx, state.reg
             )
         else:

@@ -331,6 +331,77 @@ def test_fused_riccati_in_ddp_solve(arm7, rng):
                                atol=1e-8)
 
 
+def test_chunked_riccati_backward_matches_jnp(rng):
+    """The chunked-batch (VMEM-resident) Riccati kernel reproduces
+    solver.ddp.backward_pass at quadruped-class nx, for per-knot and
+    CONSTANT cost blocks, with a batched regularizer — including the
+    small-batch lane padding path (B=4 -> one 128-lane block)."""
+    from rbdtpu.solver.ddp import backward_pass
+    from rbdtpu.kernels.riccati_chunk import backward_pass_chunked
+
+    sym = lambda M: 0.5 * (M + np.swapaxes(M, -1, -2))
+
+    def rnd(*s):
+        return jnp.array(rng.standard_normal(s))
+
+    for (nx, nv, H, Bm, timed) in ((10, 4, 5, 4, False), (10, 4, 5, 4, True),
+                                   (36, 18, 2, 4, True)):
+        A = 0.1 * rnd(Bm, H, nx, nx) + jnp.eye(nx)
+        Bmat = 0.1 * rnd(Bm, H, nx, nv)
+        lx = rnd(Bm, H, nx)
+        lu = rnd(Bm, H, nv)
+        lfx = rnd(Bm, nx)
+        lfxx = jnp.array(
+            sym(np.eye(nx) + 0.1 * rng.standard_normal((Bm, nx, nx))))
+        lfxx = lfxx @ jnp.swapaxes(lfxx, -1, -2)
+        reg = jnp.array(rng.uniform(1e-6, 1e-2, Bm))
+        if timed:
+            lxx = jnp.array(
+                sym(0.05 * rng.standard_normal((Bm, H, nx, nx)))
+            ) + 2.0 * jnp.eye(nx)
+            luu = jnp.array(
+                sym(0.05 * rng.standard_normal((Bm, H, nv, nv)))
+            ) + 2.0 * jnp.eye(nv)
+            lux = 0.05 * rnd(Bm, H, nv, nx)
+        else:
+            lxx = 2.0 * jnp.eye(nx)
+            luu = 2.0 * jnp.eye(nv)
+            lux = jnp.zeros((nv, nx))
+        args = (A, Bmat, lx, lu, lxx, luu, lux, lfx, lfxx, reg)
+        k_j, K_j, dV_j, ok_j = backward_pass(*args)
+        k_f, K_f, dV_f, ok_f = backward_pass_chunked(*args)
+        np.testing.assert_allclose(np.asarray(k_f), np.asarray(k_j),
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(K_f), np.asarray(K_j),
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(dV_f), np.asarray(dV_j),
+                                   rtol=1e-8)
+        assert np.array_equal(np.asarray(ok_f), np.asarray(ok_j))
+
+
+def test_chunked_riccati_in_ddp_solve(quadruped12fb, rng):
+    """DDPConfig(fused_riccati=True) at quadruped nx=36 routes the backward
+    sweep through the chunked kernel and matches the jnp sweep end-to-end."""
+    from rbdtpu.solver import DDPConfig, ddp_solve, quadratic_tracking_cost
+
+    m = quadruped12fb
+    x_goal = jnp.zeros(m.nq + m.nv).at[2].set(0.45)
+    cost = quadratic_tracking_cost(m, x_goal)
+    Bm, H = 4, 5
+    q0, qd0, _ = random_state(rng, m, (Bm,))
+    x0 = jnp.concatenate([q0, 0.1 * qd0], -1)
+    U0 = jnp.zeros((Bm, H, m.nv))
+    cfg = dict(iters=2, dt=0.01, n_alphas=4)
+    s_f, _ = ddp_solve(m, cost, x0, U0,
+                       DDPConfig(**cfg, fused_riccati=True))
+    s_j, _ = ddp_solve(m, cost, x0, U0,
+                       DDPConfig(**cfg, fused_riccati=False))
+    np.testing.assert_allclose(np.asarray(s_f.J), np.asarray(s_j.J),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(s_f.U), np.asarray(s_j.U),
+                               atol=1e-7)
+
+
 def test_fused_feedback_forward_pass_quat_root(quadruped12quat, rng):
     """feedback_rollout_fused on a QUATERNION-root model: the in-kernel
     manifold state diff (quat_log_rel + R0^T dp) must reproduce the jnp
