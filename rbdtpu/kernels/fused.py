@@ -164,9 +164,33 @@ def _vj(ms: ModelStatic, i: int, u):
     return ls.vscale(u[ms.vi(i)], ms.S[i])
 
 
-def rnea_lane(ms: ModelStatic, q, qd, qdd=None, gravity: float = -9.81):
-    """Lane-scalar RNEA: q/qd/qdd are lists of n lane-scalars.
-    Returns tau (list of n lane-scalars)."""
+def _xa_chain(ms: ModelStatic, X):
+    """World->body compact transforms down the tree: Xa[i] = X[i] o Xa[p]
+    (the corrected reference-C8 ancestor chain, in (E, r) compact form)."""
+    Xa = [None] * ms.nb
+    for i in range(ms.nb):
+        p = ms.parent[i]
+        Xa[i] = X[i] if p == -1 else ls.xc_compose(X[i], Xa[p])
+    return Xa
+
+
+def _apply_fext_lane(ms: ModelStatic, X, f_list, f_ext):
+    """Subtract world-frame wrenches from per-body forces:
+    f[i] -= Xa[i]^{-T} f_ext[i] — the lane twin of
+    dynamics.rnea.apply_external_forces.  f_ext: list of nb 6-lists."""
+    Xa = _xa_chain(ms, X)
+    return [
+        ls.vsub(f_list[i], ls.xc_fvT(Xa[i], f_ext[i]))
+        for i in range(ms.nb)
+    ]
+
+
+def rnea_lane(ms: ModelStatic, q, qd, qdd=None, gravity: float = -9.81,
+              f_ext=None):
+    """Lane-scalar RNEA: q/qd/qdd are lists of n lane-scalars; f_ext an
+    optional list of nb world-frame wrench 6-lists (exact
+    dynamics.rnea(f_ext) semantics).  Returns tau (list of n lane-scalars).
+    """
     nb = ms.nb
     a_grav = [0.0, 0.0, 0.0, 0.0, 0.0, -gravity]
     X, v, a, f = [None] * nb, [None] * nb, [None] * nb, [None] * nb
@@ -187,6 +211,9 @@ def rnea_lane(ms: ModelStatic, q, qd, qdd=None, gravity: float = -9.81):
         fi = ls.vadd(ls.matvec(ms.I[i], ai), ls.cross_force(vi, Iv))
         X[i], v[i], a[i], f[i] = Xi, vi, ai, fi
 
+    if f_ext is not None:
+        f = _apply_fext_lane(ms, X, f, f_ext)
+
     tau = [None] * (ms.nv)
     for i in range(nb - 1, -1, -1):
         p = ms.parent[i]
@@ -200,10 +227,13 @@ def rnea_lane(ms: ModelStatic, q, qd, qdd=None, gravity: float = -9.81):
     return tau
 
 
-def aba_lane(ms: ModelStatic, q, qd, tau, gravity: float = -9.81, X=None):
+def aba_lane(ms: ModelStatic, q, qd, tau, gravity: float = -9.81, X=None,
+             f_ext=None):
     """Lane-scalar ABA: returns qdd (list of n lane-scalars).  Pass
     precomputed COMPACT (E, r) transforms via ``X`` (``_body_xc``) to share
-    them with other sweeps."""
+    them with other sweeps.  f_ext: optional list of nb world-frame wrench
+    6-lists subtracted from the bias forces (dynamics.aba(f_ext) semantics;
+    reference hook RBDReference.py:877-878)."""
     nb = ms.nb
     a_grav = [0.0, 0.0, 0.0, 0.0, 0.0, -gravity]
     v, cb, pA = [None] * nb, [None] * nb, [None] * nb
@@ -222,6 +252,9 @@ def aba_lane(ms: ModelStatic, q, qd, tau, gravity: float = -9.81, X=None):
         Iv = ls.matvec(ms.I[i], vi)
         X[i], v[i], cb[i] = Xi, vi, ci
         pA[i] = ls.cross_force(vi, Iv)
+
+    if f_ext is not None:
+        pA = _apply_fext_lane(ms, X, pA, f_ext)
 
     U, dinv, u_ = [None] * nb, [None] * nb, [None] * nb
     for i in range(nb - 1, -1, -1):
@@ -396,13 +429,34 @@ def _integrate_q_lane(ms: ModelStatic, q_s, qd_new, dt):
     return p_new + list(quat_new) + joints
 
 
+def _fext_lists(ms: ModelStatic, fe_ref):
+    """Packed (nb*6) rows -> list of nb wrench 6-lists."""
+    return [
+        [fe_ref[i * 6 + k] for k in range(6)] for i in range(ms.nb)
+    ]
+
+
+def _pack_fext(ms: ModelStatic, f_ext, B, Bp, dtype):
+    """(nb, 6) or (B, nb, 6) world wrenches -> packed (nb*6, 8, Bp//8)."""
+    nbw = ms.nb * 6
+    fe = jnp.asarray(f_ext, dtype)
+    fe = jnp.broadcast_to(fe, (B, ms.nb, 6)).reshape(B, nbw)
+    if Bp != B:
+        fe = jnp.concatenate(
+            [fe, jnp.zeros((Bp - B, nbw), fe.dtype)], axis=0)
+    return _pack(fe, nbw)
+
+
 def fd_step_fused(model: RobotModel, x, u, dt: float,
                   gravity: float = -9.81, block_lanes: int = 512,
-                  interpret: bool | None = None):
+                  interpret: bool | None = None, f_ext=None):
     """Fused ABA + semi-implicit Euler step: x (B, 2n), u (B, n) -> x' (B, 2n).
 
     The entire forward-dynamics step — transform build, 3 ABA sweeps,
     integration — is one pallas kernel; HBM traffic is exactly inputs+outputs.
+    f_ext: optional (nb, 6) or (B, nb, 6) world-frame wrenches applied inside
+    the kernel (exact dynamics.aba(f_ext) semantics; Xa chain in compact
+    (E, r) form).
     """
     ms = get_static(model)
     nq, nv = ms.nq, ms.nv
@@ -411,36 +465,45 @@ def fd_step_fused(model: RobotModel, x, u, dt: float,
     if interpret is None:
         interpret = not _on_tpu()
     Bp = _pad_batch(B)
+    fe_pk = (None if f_ext is None
+             else _pack_fext(ms, f_ext, B, Bp, x.dtype))
     if Bp != B:
         padz = lambda t: jnp.concatenate(
             [t, jnp.zeros((Bp - B,) + t.shape[1:], t.dtype)], axis=0)
         x, u = padz(x), padz(u)
     L = _pick_lanes(Bp, block_lanes)
     nblocks = (Bp // 8) // L
+    has_fe = fe_pk is not None
 
-    def kernel(x_ref, u_ref, out_ref):
+    def kernel(x_ref, u_ref, *rest):
+        out_ref = rest[-1]
         q_s = [x_ref[i] for i in range(nq)]
         qd_s = [x_ref[nq + i] for i in range(nv)]
         tau_s = [u_ref[i] for i in range(nv)]
+        fe = _fext_lists(ms, rest[0]) if has_fe else None
         q_new, qd_new = _step_lane(ms, q_s, qd_s, tau_s, dt, gravity,
-                                   route="aba")
+                                   route="aba", f_ext=fe)
         for i in range(nv):
             out_ref[nq + i] = qd_new[i]
         for i in range(nq):
             out_ref[i] = q_new[i]
 
-    spec_x = pl.BlockSpec((nx, 8, L), lambda b: (0, 0, b),
-                          memory_space=pltpu.VMEM)
-    spec_u = pl.BlockSpec((nv, 8, L), lambda b: (0, 0, b),
-                          memory_space=pltpu.VMEM)
+    mkspec = lambda rows: pl.BlockSpec((rows, 8, L), lambda b: (0, 0, b),
+                                       memory_space=pltpu.VMEM)
+    spec_x = mkspec(nx)
+    in_specs = [spec_x, mkspec(nv)]
+    ins = [_pack(x, nx), _pack(u, nv)]
+    if has_fe:
+        in_specs.append(mkspec(ms.nb * 6))
+        ins.append(fe_pk)
     out = pl.pallas_call(
         kernel,
         grid=(nblocks,),
-        in_specs=[spec_x, spec_u],
+        in_specs=in_specs,
         out_specs=spec_x,
         out_shape=jax.ShapeDtypeStruct((nx, 8, Bp // 8), x.dtype),
         interpret=interpret,
-    )(_pack(x, nx), _pack(u, nv))
+    )(*ins)
     return _unpack(out, Bp)[:B]
 
 
@@ -451,18 +514,20 @@ def _feedback_rows_total(nx: int, nv: int, ndx: int) -> int:
     return 3 * nx + 3 * nv + nv * ndx
 
 
-def feedback_lane_budget(nx: int, nv: int, ndx: int) -> int:
+def feedback_lane_budget(nx: int, nv: int, ndx: int,
+                         extra_rows: int = 0) -> int:
     """Max lane-block width whose double-buffered footprint fits the ~16MB
     scoped-VMEM limit (6MB single-buffered budget — measured: the Mosaic
     stack allocates ~1.9x the block bytes).  The K gain block (nv*ndx rows)
     dominates: humanoid-size K fits only at narrow lane widths, i.e. small
-    (alpha x batch) products."""
-    per_lane = _feedback_rows_total(nx, nv, ndx) * 8 * 4  # f32 (8,L) tiles
+    (alpha x batch) products.  extra_rows: additional streamed rows (the
+    f_ext wrench block when present)."""
+    per_lane = (_feedback_rows_total(nx, nv, ndx) + extra_rows) * 8 * 4
     return (6 * 1024 * 1024) // per_lane
 
 
 def feedback_fused_ok(model: RobotModel, batch_total: int,
-                      dtype=jnp.float32) -> bool:
+                      dtype=jnp.float32, with_fext: bool = False) -> bool:
     """True when feedback_rollout_fused can run batch_total trajectories
     (the solver's alpha-ladder x problem batch) without blowing scoped VMEM
     or degenerating to sub-128-lane blocks at large batch.
@@ -484,14 +549,22 @@ def feedback_fused_ok(model: RobotModel, batch_total: int,
     ndx = 2 * nv
     Bp = _pad_batch(batch_total)
     sds = lambda *s: jax.ShapeDtypeStruct(s, dtype)
-    fn = lambda x0, Xn, Un, kf, Kf: feedback_rollout_fused(
-        model, x0, Xn, Un, kf, Kf, 0.01
-    )
-    args = (sds(batch_total, nx), sds(batch_total, 1, nx),
-            sds(batch_total, 1, nv), sds(batch_total, 1, nv),
-            sds(batch_total, 1, nv, ndx))
+    if with_fext:
+        fn = lambda x0, Xn, Un, kf, Kf, F: feedback_rollout_fused(
+            model, x0, Xn, Un, kf, Kf, 0.01, f_ext=F
+        )
+        args = (sds(batch_total, nx), sds(batch_total, 1, nx),
+                sds(batch_total, 1, nv), sds(batch_total, 1, nv),
+                sds(batch_total, 1, nv, ndx), sds(1, int(model.nb), 6))
+    else:
+        fn = lambda x0, Xn, Un, kf, Kf: feedback_rollout_fused(
+            model, x0, Xn, Un, kf, Kf, 0.01
+        )
+        args = (sds(batch_total, nx), sds(batch_total, 1, nx),
+                sds(batch_total, 1, nv), sds(batch_total, 1, nv),
+                sds(batch_total, 1, nv, ndx))
     key = (model.parent, model.joint_type, model.floating_base,
-           model.root_quat, Bp, jnp.dtype(dtype).name)
+           model.root_quat, Bp, jnp.dtype(dtype).name, with_fext)
     return probe_ok("feedback_rollout", key, fn, args, on_tpu=_on_tpu())
 
 
@@ -517,7 +590,8 @@ def _dx_rows(ms: ModelStatic, x, xn):
 
 def feedback_rollout_fused(model: RobotModel, x0, X_nom, U_nom, k_ff, K_fb,
                            dt: float, gravity: float = -9.81,
-                           u_clip=None, interpret: bool | None = None):
+                           u_clip=None, interpret: bool | None = None,
+                           f_ext=None):
     """Closed-loop line-search rollout with the FEEDBACK LAW fused into the
     dynamics kernel, scanning in packed lane layout.
 
@@ -569,7 +643,8 @@ def feedback_rollout_fused(model: RobotModel, x0, X_nom, U_nom, k_ff, K_fb,
     # static per-joint clamp constants, folded into the kernel at trace time
     lims = None if u_clip is None else [float(v) for v in np.asarray(u_clip)]
     BT = Bp // 8
-    allowed = feedback_lane_budget(nx, nv, ndx)
+    allowed = feedback_lane_budget(
+        nx, nv, ndx, extra_rows=(ms.nb * 6 if f_ext is not None else 0))
     L = _pick_lanes(Bp, min(512, allowed))
     if L > allowed:  # _pick_lanes full-width fallback would blow VMEM
         cands = [d for d in range(1, min(allowed, BT) + 1) if BT % d == 0]
@@ -588,8 +663,17 @@ def feedback_rollout_fused(model: RobotModel, x0, X_nom, U_nom, k_ff, K_fb,
     k_p = packH(k_ff, nv)
     K_p = packH(K_fb.reshape(Bp, H, nv * ndx), nv * ndx)
     x_p = _pack(x0, nx)
+    has_fe = f_ext is not None
+    nbw = ms.nb * 6
+    if has_fe:
+        # (H, nb, 6) shared across the packed batch -> lane-broadcast rows
+        fe_p = jnp.broadcast_to(
+            jnp.asarray(f_ext, x0.dtype).reshape(H, nbw, 1, 1),
+            (H, nbw, 8, BT),
+        )
 
-    def kernel(x_ref, Xt_ref, Ut_ref, kt_ref, Kt_ref, xo_ref, uo_ref):
+    def kernel(x_ref, Xt_ref, Ut_ref, kt_ref, Kt_ref, *rest):
+        xo_ref, uo_ref = rest[-2], rest[-1]
         x = [x_ref[i] for i in range(nx)]
         dx = _dx_rows(ms, x, [Xt_ref[i] for i in range(nx)])
         u = []
@@ -601,7 +685,8 @@ def feedback_rollout_fused(model: RobotModel, x0, X_nom, U_nom, k_ff, K_fb,
                 acc = jnp.clip(acc, -lims[i], lims[i])
             u.append(acc)
         q_s, qd_s = x[:nq], x[nq:]
-        qdd = aba_lane(ms, q_s, qd_s, u, gravity)
+        fe = _fext_lists(ms, rest[0]) if has_fe else None
+        qdd = aba_lane(ms, q_s, qd_s, u, gravity, f_ext=fe)
         qd_new = [qd_s[i] + dt * qdd[i] for i in range(nv)]
         q_new = _integrate_q_lane(ms, q_s, qd_new, dt)
         for i in range(nq):
@@ -612,11 +697,14 @@ def feedback_rollout_fused(model: RobotModel, x0, X_nom, U_nom, k_ff, K_fb,
 
     mkspec = lambda rows: pl.BlockSpec((rows, 8, L), lambda b: (0, 0, b),
                                        memory_space=pltpu.VMEM)
+    in_specs = [mkspec(nx), mkspec(nx), mkspec(nv), mkspec(nv),
+                mkspec(nv * ndx)]
+    if has_fe:
+        in_specs.append(mkspec(nbw))
     call = pl.pallas_call(
         kernel,
         grid=(nblocks,),
-        in_specs=[mkspec(nx), mkspec(nx), mkspec(nv), mkspec(nv),
-                  mkspec(nv * ndx)],
+        in_specs=in_specs,
         out_specs=(mkspec(nx), mkspec(nv)),
         out_shape=(jax.ShapeDtypeStruct((nx, 8, BT), x0.dtype),
                    jax.ShapeDtypeStruct((nv, 8, BT), x0.dtype)),
@@ -624,11 +712,13 @@ def feedback_rollout_fused(model: RobotModel, x0, X_nom, U_nom, k_ff, K_fb,
     )
 
     def step(x_c, inp):
-        Xt, Ut, kt, Kt = inp
-        x_new, u = call(x_c, Xt, Ut, kt, Kt)
+        Xt, Ut, kt, Kt = inp[:4]
+        ops = (x_c, Xt, Ut, kt, Kt) + ((inp[4],) if has_fe else ())
+        x_new, u = call(*ops)
         return x_new, (x_new, u)
 
-    _, (X_st, U_st) = jax.lax.scan(step, x_p, (Xn_p, Un_p, k_p, K_p))
+    scan_in = (Xn_p, Un_p, k_p, K_p) + ((fe_p,) if has_fe else ())
+    _, (X_st, U_st) = jax.lax.scan(step, x_p, scan_in)
     # (H, r, 8, BT) -> (B, H, r): one transpose for the whole trajectory
     unpackH = lambda a, r: jnp.transpose(
         a.reshape(H, r, Bp), (2, 0, 1)
@@ -660,7 +750,8 @@ def feedback_chunks(model: RobotModel, batch_total: int,
 
 
 def feedback_chunked_ok(model: RobotModel, batch_total: int,
-                        dtype=jnp.float32) -> int | None:
+                        dtype=jnp.float32,
+                        with_fext: bool = False) -> int | None:
     """Chunk count for feedback_rollout_fused_chunked at this batch, or None
     when no chunking fits — the large-K fallback tier behind
     feedback_fused_ok (VERDICT r2 next #7: humanoid-size K blocks).  Same
@@ -676,14 +767,22 @@ def feedback_chunked_ok(model: RobotModel, batch_total: int,
     ndx = 2 * nv
     Bp = _pad_batch(batch_total)
     sds = lambda *s: jax.ShapeDtypeStruct(s, dtype)
-    fn = lambda x0, Xn, Un, kf, Kf: feedback_rollout_fused_chunked(
-        model, x0, Xn, Un, kf, Kf, 0.01, nchunks=c
-    )
-    args = (sds(batch_total, nx), sds(batch_total, 1, nx),
-            sds(batch_total, 1, nv), sds(batch_total, 1, nv),
-            sds(batch_total, 1, nv, ndx))
+    if with_fext:
+        fn = lambda x0, Xn, Un, kf, Kf, F: feedback_rollout_fused_chunked(
+            model, x0, Xn, Un, kf, Kf, 0.01, nchunks=c, f_ext=F
+        )
+        args = (sds(batch_total, nx), sds(batch_total, 1, nx),
+                sds(batch_total, 1, nv), sds(batch_total, 1, nv),
+                sds(batch_total, 1, nv, ndx), sds(1, int(model.nb), 6))
+    else:
+        fn = lambda x0, Xn, Un, kf, Kf: feedback_rollout_fused_chunked(
+            model, x0, Xn, Un, kf, Kf, 0.01, nchunks=c
+        )
+        args = (sds(batch_total, nx), sds(batch_total, 1, nx),
+                sds(batch_total, 1, nv), sds(batch_total, 1, nv),
+                sds(batch_total, 1, nv, ndx))
     key = (model.parent, model.joint_type, model.floating_base,
-           model.root_quat, Bp, c, jnp.dtype(dtype).name)
+           model.root_quat, Bp, c, jnp.dtype(dtype).name, with_fext)
     if probe_ok("feedback_chunked", key, fn, args, on_tpu=_on_tpu()):
         return c
     return None
@@ -692,7 +791,7 @@ def feedback_chunked_ok(model: RobotModel, batch_total: int,
 def feedback_rollout_fused_chunked(
     model: RobotModel, x0, X_nom, U_nom, k_ff, K_fb, dt: float,
     gravity: float = -9.81, u_clip=None, nchunks: int = 2,
-    interpret: bool | None = None,
+    interpret: bool | None = None, f_ext=None,
 ):
     """feedback_rollout_fused for K-gain blocks that exceed VMEM in one
     piece (large-batch humanoid line search — VERDICT r2 next #7).
@@ -784,8 +883,16 @@ def feedback_rollout_fused_chunked(
         )
 
     chunk_calls = [make_chunk_call(c) for c in range(nchunks)]
+    has_fe = f_ext is not None
+    nbw = ms.nb * 6
+    if has_fe:
+        fe_p = jnp.broadcast_to(
+            jnp.asarray(f_ext, x0.dtype).reshape(H, nbw, 1, 1),
+            (H, nbw, 8, BT),
+        )
 
-    def dyn_kernel(x_ref, u_ref, xo_ref, uo_ref):
+    def dyn_kernel(x_ref, u_ref, *rest):
+        xo_ref, uo_ref = rest[-2], rest[-1]
         x = [x_ref[i] for i in range(nx)]
         u = []
         for i in range(nv):
@@ -794,7 +901,8 @@ def feedback_rollout_fused_chunked(
                 ui = jnp.clip(ui, -lims[i], lims[i])
             u.append(ui)
         q_s, qd_s = x[:nq], x[nq:]
-        qdd = aba_lane(ms, q_s, qd_s, u, gravity)
+        fe = _fext_lists(ms, rest[0]) if has_fe else None
+        qdd = aba_lane(ms, q_s, qd_s, u, gravity, f_ext=fe)
         qd_new = [qd_s[i] + dt * qdd[i] for i in range(nv)]
         q_new = _integrate_q_lane(ms, q_s, qd_new, dt)
         for i in range(nq):
@@ -803,10 +911,13 @@ def feedback_rollout_fused_chunked(
             xo_ref[nq + i] = qd_new[i]
             uo_ref[i] = u[i]
 
+    dyn_in_specs = [mkspec(nx), mkspec(nv)]
+    if has_fe:
+        dyn_in_specs.append(mkspec(nbw))
     dyn_call = pl.pallas_call(
         dyn_kernel,
         grid=(nblocks,),
-        in_specs=[mkspec(nx), mkspec(nv)],
+        in_specs=dyn_in_specs,
         out_specs=(mkspec(nx), mkspec(nv)),
         out_shape=(jax.ShapeDtypeStruct((nx, 8, BT), x0.dtype),
                    jax.ShapeDtypeStruct((nv, 8, BT), x0.dtype)),
@@ -814,14 +925,16 @@ def feedback_rollout_fused_chunked(
     )
 
     def step(x_c, inp):
-        Xt, Ut, kt, Kt = inp
+        Xt, Ut, kt, Kt = inp[:4]
         u = Ut + kt
         for call in chunk_calls:
             u = u + call(x_c, Xt, Kt)
-        x_new, u_out = dyn_call(x_c, u)
+        ops = (x_c, u) + ((inp[4],) if has_fe else ())
+        x_new, u_out = dyn_call(*ops)
         return x_new, (x_new, u_out)
 
-    _, (X_st, U_st) = jax.lax.scan(step, x_p, (Xn_p, Un_p, k_p, K_p))
+    scan_in = (Xn_p, Un_p, k_p, K_p) + ((fe_p,) if has_fe else ())
+    _, (X_st, U_st) = jax.lax.scan(step, x_p, scan_in)
     unpackH = lambda a, r: jnp.transpose(a.reshape(H, r, Bp), (2, 0, 1))[:B]
     return unpackH(X_st, nx), unpackH(U_st, nv)
 
@@ -839,14 +952,16 @@ def rollout_fused(model: RobotModel, x0, U, dt: float,
 
 
 def _step_lane(ms: ModelStatic, q_s, qd_s, u_s, dt, gravity, route="aba",
-               dense_minv=False):
+               dense_minv=False, f_ext=None):
     """One forward-dynamics + semi-implicit-Euler step on lane scalars —
     shared by the per-step and whole-horizon kernels.  Returns
-    (q_new, qd_new)."""
+    (q_new, qd_new).  f_ext: optional list of nb wrench 6-lists (world
+    frame), applied with exact dynamics.aba/forward_dynamics semantics."""
     n = ms.nv
     if route == "minv":
         X = [_body_xc(ms, i, q_s) for i in range(ms.nb)]
-        _, _, _, c = _rnea_sweeps_lane(ms, X, qd_s, None, gravity)
+        _, _, _, c = _rnea_sweeps_lane(ms, X, qd_s, None, gravity,
+                                       f_ext=f_ext)
         uc = [u_s[j] - c[j] for j in range(n)]
         if dense_minv:
             Minv = minv_lane(ms, X)
@@ -854,14 +969,14 @@ def _step_lane(ms: ModelStatic, q_s, qd_s, u_s, dt, gravity, route="aba",
         else:
             qdd = aba_lane(ms, q_s, [0.0] * n, uc, gravity=0.0, X=X)
     else:
-        qdd = aba_lane(ms, q_s, qd_s, u_s, gravity)
+        qdd = aba_lane(ms, q_s, qd_s, u_s, gravity, f_ext=f_ext)
     qd_new = [qd_s[i] + dt * qdd[i] for i in range(n)]
     q_new = _integrate_q_lane(ms, q_s, qd_new, dt)
     return q_new, qd_new
 
 
 def rollout_multi_ok(model: RobotModel, B: int, H: int, route: str,
-                     dtype=jnp.float32) -> bool:
+                     dtype=jnp.float32, with_fext: bool = False) -> bool:
     """COMPILE PROBE for the whole-horizon rollout kernel at this (B, H)
     (kernels.probe): False -> callers fall back to the scan-of-step-kernels
     path instead of risking a Mosaic-side crash."""
@@ -870,11 +985,16 @@ def rollout_multi_ok(model: RobotModel, B: int, H: int, route: str,
     ms = get_static(model)
     nx = ms.nq + ms.nv
     sds = lambda *sh: jax.ShapeDtypeStruct(sh, jnp.dtype(dtype))
-    fn = lambda x0_, U_: rollout_fused_multi(model, x0_, U_, 0.01,
-                                             route=route, probe=False)
-    args = (sds(B, nx), sds(H, B, ms.nv))
+    if with_fext:
+        fn = lambda x0_, U_, F_: rollout_fused_multi(
+            model, x0_, U_, 0.01, route=route, probe=False, f_ext=F_)
+        args = (sds(B, nx), sds(H, B, ms.nv), sds(H, ms.nb, 6))
+    else:
+        fn = lambda x0_, U_: rollout_fused_multi(model, x0_, U_, 0.01,
+                                                 route=route, probe=False)
+        args = (sds(B, nx), sds(H, B, ms.nv))
     key = (model.parent, model.joint_type, model.floating_base,
-           model.root_quat, route, B, H, jnp.dtype(dtype).name)
+           model.root_quat, route, B, H, jnp.dtype(dtype).name, with_fext)
     return probe_ok("rollout_multi", key, fn, args, on_tpu=_on_tpu())
 
 
@@ -882,7 +1002,7 @@ def rollout_fused_multi(model: RobotModel, x0, U, dt: float,
                         gravity: float = -9.81, route: str = "aba",
                         block_lanes: int = 512,
                         interpret: bool | None = None,
-                        probe: bool = True):
+                        probe: bool = True, f_ext=None):
     """Whole-horizon fused rollout: ONE pallas kernel invocation per batch
     block executes EVERY time step, carrying the state in a VMEM scratch
     accumulator across the sequential time axis of the grid while U[t]
@@ -898,6 +1018,9 @@ def rollout_fused_multi(model: RobotModel, x0, U, dt: float,
     x0 (B, nx), U (H, B, nv) scan-major -> final state (B, nx).
     route: "aba" (O(n) articulated) or "minv" (bias RNEA + factorized
     M^-1 apply — BASELINE configs[1] semantics, see fd_step_minv_fused).
+    f_ext: optional (H, nb, 6) per-knot world wrenches (shared across the
+    batch — solver.rollout.normalize_f_ext convention), streamed through
+    the grid alongside U.
     """
     ms = get_static(model)
     nq, n = ms.nq, ms.nv
@@ -906,9 +1029,16 @@ def rollout_fused_multi(model: RobotModel, x0, U, dt: float,
     if interpret is None:
         interpret = not _on_tpu()
     if probe and not interpret and not rollout_multi_ok(
-            model, B, H, route, x0.dtype):
+            model, B, H, route, x0.dtype, with_fext=f_ext is not None):
         # graceful degradation (kernels.probe): per-step fused kernels
         step = fd_step_fused if route == "aba" else fd_step_minv_fused
+
+        if f_ext is not None:
+            def one_fe(x, inp):
+                u, fe = inp
+                return step(model, x, u, dt, gravity, f_ext=fe), None
+
+            return jax.lax.scan(one_fe, x0, (U, f_ext))[0]
 
         def one(x, u):
             return step(model, x, u, dt, gravity), None
@@ -922,10 +1052,18 @@ def rollout_fused_multi(model: RobotModel, x0, U, dt: float,
             [U, jnp.zeros((H, Bp - B, n), U.dtype)], axis=1)
     L = _pick_lanes(Bp, block_lanes)
     nblocks = (Bp // 8) // L
+    has_fe = f_ext is not None
+    nbw = ms.nb * 6
 
     U_pk = jnp.transpose(U, (0, 2, 1)).reshape(H, n, 8, Bp // 8)
+    if has_fe:
+        fe_pk = jnp.broadcast_to(
+            jnp.asarray(f_ext, x0.dtype).reshape(H, nbw, 1, 1),
+            (H, nbw, 8, Bp // 8),
+        )
 
-    def kernel(x0_ref, u_ref, out_ref, xs):
+    def kernel(x0_ref, u_ref, *rest):
+        out_ref, xs = rest[-2], rest[-1]
         t = pl.program_id(1)
 
         @pl.when(t == 0)
@@ -935,7 +1073,13 @@ def rollout_fused_multi(model: RobotModel, x0, U, dt: float,
         q_s = [xs[i] for i in range(nq)]
         qd_s = [xs[nq + i] for i in range(n)]
         u_s = [u_ref[0, i] for i in range(n)]
-        q_new, qd_new = _step_lane(ms, q_s, qd_s, u_s, dt, gravity, route)
+        fe = (
+            [[rest[0][0, i * 6 + k] for k in range(6)]
+             for i in range(ms.nb)]
+            if has_fe else None
+        )
+        q_new, qd_new = _step_lane(ms, q_s, qd_s, u_s, dt, gravity, route,
+                                   f_ext=fe)
         for i in range(nq):
             xs[i] = q_new[i]
         for i in range(n):
@@ -947,17 +1091,23 @@ def rollout_fused_multi(model: RobotModel, x0, U, dt: float,
 
     spec_x = pl.BlockSpec((nx, 8, L), lambda b, t: (0, 0, b),
                           memory_space=pltpu.VMEM)
-    spec_u = pl.BlockSpec((1, n, 8, L), lambda b, t: (t, 0, 0, b),
-                          memory_space=pltpu.VMEM)
+    spec_t = lambda rows: pl.BlockSpec(
+        (1, rows, 8, L), lambda b, t: (t, 0, 0, b),
+        memory_space=pltpu.VMEM)
+    in_specs = [spec_x, spec_t(n)]
+    ins = [_pack(x0, nx), U_pk]
+    if has_fe:
+        in_specs.append(spec_t(nbw))
+        ins.append(fe_pk)
     out = pl.pallas_call(
         kernel,
         grid=(nblocks, H),
-        in_specs=[spec_x, spec_u],
+        in_specs=in_specs,
         out_specs=spec_x,
         out_shape=jax.ShapeDtypeStruct((nx, 8, Bp // 8), x0.dtype),
         scratch_shapes=[pltpu.VMEM((nx, 8, L), x0.dtype)],
         interpret=interpret,
-    )(_pack(x0, nx), U_pk)
+    )(*ins)
     return _unpack(out, Bp)[:B]
 
 
@@ -1045,10 +1195,11 @@ def minv_lane(ms: ModelStatic, X):
     ]
 
 
-def _rnea_sweeps_lane(ms: ModelStatic, X, qd, qdd, gravity):
+def _rnea_sweeps_lane(ms: ModelStatic, X, qd, qdd, gravity, f_ext=None):
     """Forward+backward RNEA given precomputed transforms.  Returns
     (v, a, f_acc, tau): per-body vec6 lists (f accumulated leaf->root),
-    tau a length-nv list.  Floating-base aware."""
+    tau a length-nv list.  Floating-base aware.  f_ext: optional list of nb
+    world-frame wrench 6-lists (subtracted before the backward sweep)."""
     nb = ms.nb
     a_grav = [0.0, 0.0, 0.0, 0.0, 0.0, -gravity]
     v, a, f = [None] * nb, [None] * nb, [None] * nb
@@ -1067,6 +1218,8 @@ def _rnea_sweeps_lane(ms: ModelStatic, X, qd, qdd, gravity):
         Iv = ls.matvec(ms.I[i], vi)
         fi = ls.vadd(ls.matvec(ms.I[i], ai), ls.cross_force(vi, Iv))
         v[i], a[i], f[i] = vi, ai, fi
+    if f_ext is not None:
+        f = _apply_fext_lane(ms, X, f, f_ext)
     tau = [None] * ms.nv
     for i in range(nb - 1, -1, -1):
         p = ms.parent[i]
@@ -1083,7 +1236,7 @@ def _rnea_sweeps_lane(ms: ModelStatic, X, qd, qdd, gravity):
 def fd_step_minv_fused(model: RobotModel, x, u, dt: float,
                        gravity: float = -9.81, block_lanes: int = 512,
                        interpret: bool | None = None,
-                       dense_minv: bool = False):
+                       dense_minv: bool = False, f_ext=None):
     """Fused forward-dynamics step on the Minv + RNEA route (BASELINE.json
     configs[1]): bias RNEA -> qdd = M^-1 (u - c) -> semi-implicit Euler, all
     in ONE pallas kernel.  x (B, 2n), u (B, n) -> (B, 2n).
@@ -1104,34 +1257,44 @@ def fd_step_minv_fused(model: RobotModel, x, u, dt: float,
     if interpret is None:
         interpret = not _on_tpu()
     Bp = _pad_batch(B)
+    fe_pk = (None if f_ext is None
+             else _pack_fext(ms, f_ext, B, Bp, x.dtype))
     if Bp != B:
         padz = lambda t: jnp.concatenate(
             [t, jnp.zeros((Bp - B,) + t.shape[1:], t.dtype)], axis=0)
         x, u = padz(x), padz(u)
     L = _pick_lanes(Bp, block_lanes)
     nblocks = (Bp // 8) // L
+    has_fe = fe_pk is not None
 
-    def kernel(x_ref, u_ref, out_ref):
+    def kernel(x_ref, u_ref, *rest):
+        out_ref = rest[-1]
         q_s = [x_ref[i] for i in range(nq)]
         qd_s = [x_ref[nq + i] for i in range(n)]
         u_s = [u_ref[i] for i in range(n)]
+        fe = _fext_lists(ms, rest[0]) if has_fe else None
         q_new, qd_new = _step_lane(ms, q_s, qd_s, u_s, dt, gravity,
-                                   route="minv", dense_minv=dense_minv)
+                                   route="minv", dense_minv=dense_minv,
+                                   f_ext=fe)
         for i in range(n):
             out_ref[nq + i] = qd_new[i]
         for i in range(nq):
             out_ref[i] = q_new[i]
 
-    spec_x = pl.BlockSpec((nx, 8, L), lambda b: (0, 0, b),
-                          memory_space=pltpu.VMEM)
-    spec_u = pl.BlockSpec((n, 8, L), lambda b: (0, 0, b),
-                          memory_space=pltpu.VMEM)
+    mkspec = lambda rows: pl.BlockSpec((rows, 8, L), lambda b: (0, 0, b),
+                                       memory_space=pltpu.VMEM)
+    spec_x = mkspec(nx)
+    in_specs = [spec_x, mkspec(n)]
+    ins = [_pack(x, nx), _pack(u, n)]
+    if has_fe:
+        in_specs.append(mkspec(ms.nb * 6))
+        ins.append(fe_pk)
     out = pl.pallas_call(
         kernel,
         grid=(nblocks,),
-        in_specs=[spec_x, spec_u],
+        in_specs=in_specs,
         out_specs=spec_x,
         out_shape=jax.ShapeDtypeStruct((nx, 8, Bp // 8), x.dtype),
         interpret=interpret,
-    )(_pack(x, nx), _pack(u, n))
+    )(*ins)
     return _unpack(out, Bp)[:B]

@@ -437,6 +437,27 @@ def xc_mv(X, m):
     return mv3(E, a) + mv3(E, t)
 
 
+def xc_compose(X1, X2):
+    """Compact composition plux(E1, r1) @ plux(E2, r2) =
+    plux(E1 E2, r2 + E2^T r1) — the Xa ancestor-chain builder for the
+    external-force application (world->body transforms accumulated down the
+    tree; cf. dynamics.rnea.apply_external_forces, the corrected reference
+    C8 RBDReference.py:529-557)."""
+    (E1, r1), (E2, r2) = X1, X2
+    return matmat(E1, E2), vadd(r2, mtv3(E2, r1))
+
+
+def xc_fvT(X, w):
+    """X^{-T} w: world-frame wrench w = [n; f] into the frame X maps to.
+    For X = plux(E, r): X^{-T} = [[E, -E r̂], [0, E]], so
+    n' = E (n - r x f), f' = E f (dynamics.xforms.x_force_inv_T, compact)."""
+    E, r = X
+    n_, fl = w[0:3], w[3:6]
+    rxf = cross3(r, fl)
+    t = [_add(ni, _mul(-1.0, ci)) for ni, ci in zip(n_, rxf)]
+    return mv3(E, t) + mv3(E, fl)
+
+
 def xc_mtv(X, f):
     """Compact X^T @ f (== dense matvec_T for any 6-vector):
     [E^T n + r x (E^T fl); E^T fl] with f = [n; fl]."""

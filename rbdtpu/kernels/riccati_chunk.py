@@ -177,13 +177,13 @@ def _riccati_knot(Am, Bm, lx, lu, lxx, luu, lux, reg, Vx, Vxx, nx, nv):
 
 def _dot(a, b):
     return jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=a.dtype)
 
 
 def _dotT(a, b):
     """a^T @ b contracting dim 0 of both (no transpose materialized)."""
     return jax.lax.dot_general(
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=a.dtype)
 
 
 def _per_item(f, *ops):
@@ -192,37 +192,41 @@ def _per_item(f, *ops):
 
 
 def _chol_cols(Quu, reg, n):
-    """Column-wise Cholesky of Quu + reg I on (B, n, 1) sublane columns.
-    Entries above the diagonal of each stored column are garbage (never
-    read).  Returns (columns, 1/diag lane scalars (B, 1, 1))."""
+    """Column-wise Cholesky of Quu + reg I with columns stored LANE-major:
+    cols[t] is (B, 1, n) with lane index i holding L[i, t] (a (B, n, 1)
+    sublane layout would pad every column's lane dim to 128 — 8x VMEM
+    waste).  Quu is symmetric, so column j reads as row j.  Entries at
+    lanes i < j (and the stored diagonal — invd carries it) are garbage and
+    never read.  Returns (columns, 1/diag (B, 1, 1) scalars)."""
     cols = [None] * n
     invd = [None] * n
     for j in range(n):
-        s = Quu[:, :, j:j + 1]
+        s = Quu[:, j:j + 1, :]
         for t in range(j):
-            s = s - cols[t] * cols[t][:, j:j + 1, :]
-        # reg lands on the diagonal only; the stored diagonal entry of each
-        # column is never read back (invd carries it), so s stays unscaled
-        d = jnp.sqrt(s[:, j:j + 1, :] + reg)
+            s = s - cols[t] * cols[t][:, :, j:j + 1]
+        # reg lands on the diagonal only; the off-diagonal lanes of s must
+        # stay unregularized
+        d = jnp.sqrt(s[:, :, j:j + 1] + reg)
         invd[j] = 1.0 / d
         cols[j] = s * invd[j]
     return cols, invd
 
 
 def _chol_solve_rows_small(cols, invd, rows):
-    """(L L^T)^-1 b for b given as n rows (B, 1, m): L[i,t] = cols[t][:,i]."""
+    """(L L^T)^-1 b for b given as n rows (B, 1, m):
+    L[i, t] = cols[t][:, :, i] (lane-major columns)."""
     n = len(rows)
     y = [None] * n
     for i in range(n):
         s = rows[i]
         for t in range(i):
-            s = s - cols[t][:, i:i + 1, :] * y[t]
+            s = s - cols[t][:, :, i:i + 1] * y[t]
         y[i] = s * invd[i]
     x = [None] * n
     for i in reversed(range(n)):
         s = y[i]
         for t in range(i + 1, n):
-            s = s - cols[i][:, t:t + 1, :] * x[t]
+            s = s - cols[i][:, :, t:t + 1] * x[t]
         x[i] = s * invd[i]
     return x
 
@@ -263,6 +267,139 @@ def _riccati_knot_small(Am, Bm, lxr, lur, lxx, luu, lux, reg, Vxr, Vxx,
     return krow, K, dV1, Vxr_new, Vxx_new
 
 
+_SMALL_BC = 8  # small-batch variant: items per grid block (untiled dim)
+
+
+def _backward_small(A, B, lx, lu, lxx, luu, lux, lfx, lfxx, reg,
+                    batch, Bn, interpret):
+    """Small-batch wrapper: grid (Bs/8, H) with 8 problems per block in the
+    UNTILED dim, matrices (8, n, m) blocks (n sublanes, m lanes), per-item
+    MXU dots.  Covers the humanoid regime (B = 4-16, nx = 72) where the
+    lane-blocked kernel would pad 16 -> 128 lanes and blow VMEM."""
+    nx, nv = A.shape[-1], B.shape[-1]
+    H = A.shape[-3]
+    dt_ = A.dtype
+    Bc = _SMALL_BC
+    Bs = ((Bn + Bc - 1) // Bc) * Bc
+    nbb = Bs // Bc
+
+    def flat(a):
+        a = jnp.broadcast_to(a, batch + a.shape[len(batch):])
+        a = a.reshape((Bn,) + a.shape[len(batch):])
+        if Bs != Bn:
+            a = jnp.concatenate(
+                [a, jnp.zeros((Bs - Bn,) + a.shape[1:], a.dtype)], axis=0
+            )
+        return a
+
+    tmajor = lambda a: jnp.moveaxis(a, 0, 1)  # (Bs, H, ...) -> (H, Bs, ...)
+
+    timed = {}
+    const = {}
+    for name, arr, (n, m) in (("lxx", lxx, (nx, nx)), ("luu", luu, (nv, nv)),
+                              ("lux", lux, (nv, nx))):
+        if arr.ndim == 2:
+            const[name] = arr.astype(dt_)[None]  # (1, n, m): leading bcast
+        else:
+            timed[name] = tmajor(flat(arr))
+    tnames = sorted(timed)
+    cnames = sorted(const)
+    shapes = {"lxx": (nx, nx), "luu": (nv, nv), "lux": (nv, nx)}
+
+    A_p = tmajor(flat(A))
+    B_p = tmajor(flat(B))
+    lx_p = tmajor(flat(lx)[..., None, :])       # (H, Bs, 1, nx) row-major
+    lu_p = tmajor(flat(lu)[..., None, :])
+    lfx_p = flat(lfx)[..., None, :]             # (Bs, 1, nx)
+    lfxx_p = flat(lfxx)                         # (Bs, nx, nx)
+    reg_p = flat(jnp.broadcast_to(reg, batch).astype(dt_))[..., None, None]
+
+    n_t = len(tnames)
+
+    def kernel(*refs):
+        (A_ref, B_ref, lx_ref, lu_ref) = refs[:4]
+        t_refs = dict(zip(tnames, refs[4:4 + n_t]))
+        c_refs = dict(zip(cnames, refs[4 + n_t:4 + n_t + len(cnames)]))
+        lfx_ref, lfxx_ref, reg_ref = refs[4 + n_t + len(cnames):
+                                          7 + n_t + len(cnames)]
+        k_ref, K_ref, dV_ref, Vxr_s, Vxx_s = refs[7 + n_t + len(cnames):]
+
+        h = pl.program_id(1)
+
+        @pl.when(h == 0)
+        def _():
+            Vxr_s[...] = lfx_ref[...]
+            Vxx_s[...] = lfxx_ref[...]
+
+        def block(name):
+            if name in t_refs:
+                return t_refs[name][0]
+            return c_refs[name][...]
+
+        krow, K, dV1, Vxr_new, Vxx_new = _riccati_knot_small(
+            A_ref[0], B_ref[0], lx_ref[0], lu_ref[0],
+            block("lxx"), block("luu"), block("lux"), reg_ref[...],
+            Vxr_s[...], Vxx_s[...], nx, nv,
+        )
+        k_ref[0] = krow
+        K_ref[0] = K
+        dV_ref[0] = dV1
+        Vxr_s[...] = Vxr_new
+        Vxx_s[...] = Vxx_new
+
+    rev_t = lambda n, m: pl.BlockSpec(
+        (1, Bc, n, m), lambda b, h: (H - 1 - h, b, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    const_s = lambda n, m: pl.BlockSpec(
+        (1, n, m), lambda b, h: (0, 0, 0), memory_space=pltpu.VMEM,
+    )
+    per_b = lambda n, m: pl.BlockSpec(
+        (Bc, n, m), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM,
+    )
+
+    in_specs = [rev_t(nx, nx), rev_t(nx, nv), rev_t(1, nx), rev_t(1, nv)]
+    in_specs += [rev_t(*shapes[n]) for n in tnames]
+    in_specs += [const_s(*shapes[n]) for n in cnames]
+    in_specs += [per_b(1, nx), per_b(nx, nx), per_b(1, 1)]
+
+    out_specs = (rev_t(1, nv), rev_t(nv, nx), rev_t(1, 1))
+    out_shape = (
+        jax.ShapeDtypeStruct((H, Bs, 1, nv), dt_),
+        jax.ShapeDtypeStruct((H, Bs, nv, nx), dt_),
+        jax.ShapeDtypeStruct((H, Bs, 1, 1), dt_),
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=(nbb, H),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((Bc, 1, nx), dt_),
+            pltpu.VMEM((Bc, nx, nx), dt_),
+        ],
+        interpret=interpret,
+    )
+    ops = [A_p, B_p, lx_p, lu_p]
+    ops += [timed[n] for n in tnames]
+    ops += [const[n] for n in cnames]
+    ops += [lfx_p, lfxx_p, reg_p]
+    k_o, K_o, dV_o = call(*ops)
+
+    k = jnp.moveaxis(k_o[:, :, 0, :], 0, 1)[:Bn]       # (Bn, H, nv)
+    K = jnp.moveaxis(K_o, 0, 1)[:Bn]                   # (Bn, H, nv, nx)
+    dV1 = jnp.sum(dV_o[:, :, 0, 0], axis=0)[:Bn]
+    k = k.reshape(batch + (H, nv))
+    K = K.reshape(batch + (H, nv, nx))
+    dV1 = dV1.reshape(batch)
+    ok = (
+        jnp.isfinite(k).all(axis=(-1, -2))
+        & jnp.isfinite(K).all(axis=(-1, -2, -3))
+    )
+    return k, K, dV1, ok
+
+
 # ------------------------------------------------------------------ #
 # pallas wrapper                                                       #
 # ------------------------------------------------------------------ #
@@ -282,8 +419,13 @@ def _vmem_estimate(nx: int, nv: int) -> int:
 def riccati_chunk_ok(nx: int, nv: int, batch_total: int,
                      dtype=jnp.float32) -> bool:
     """True when the chunked sweep applies at this size: the VMEM estimate
-    fits and (on TPU) a compile probe of the exact layout passes."""
-    if _vmem_estimate(nx, nv) > _BUDGET:
+    fits and (on TPU) a compile probe of the exact layout passes.  Batches
+    below one 128-lane block dispatch to the small-batch (untiled-batch,
+    per-item MXU) variant, which fits up to humanoid nx."""
+    if batch_total < _LANES:
+        if nx > 96:  # small-variant VMEM bound (humanoid nx=72 fits)
+            return False
+    elif _vmem_estimate(nx, nv) > _BUDGET:
         return False
     from .probe import probe_ok
 
@@ -321,6 +463,10 @@ def backward_pass_chunked(A, B, lx, lu, lxx, luu, lux, lfx, lfxx, reg,
         Bn *= b
     if interpret is None:
         interpret = not _on_tpu()
+    if Bn < _LANES:
+        # sub-lane-block batches: untiled-batch variant (pads to 8, not 128)
+        return _backward_small(A, B, lx, lu, lxx, luu, lux, lfx, lfxx, reg,
+                               batch, Bn, interpret)
     Bp = _pad128(Bn)
     nb = Bp // _LANES
     dt_ = A.dtype

@@ -54,18 +54,33 @@ def rollout(model: RobotModel, x0, U, dt: float, gravity: float = -9.81,
     (kernels.fd_step_fused) when the flattened batch allows it.
 
     f_ext: optional per-body world-frame disturbance wrenches, (NB, 6) or
-    (H, NB, 6) — see normalize_f_ext.  Disturbed rollouts take the jnp ABA
-    path (the fused step kernel has no wrench input yet); same algorithm,
-    exact ``dynamics.aba(f_ext)`` semantics per step.
+    (H, NB, 6) — see normalize_f_ext.  Exact ``dynamics.aba(f_ext)``
+    semantics per step; with fused=True the wrench rides INSIDE the fused
+    step kernel (r5, compact Xa-chain — robust MPC at fused speed).
     """
     F = normalize_f_ext(model, f_ext, U.shape[-2], U.dtype)
     if F is not None:
-        def step_fe(x, inp):
-            u, fe = inp
-            q, qd = split_state(model, x)
-            qdd = aba(model, q, qd, u, f_ext=fe, gravity=gravity)
-            x_next = euler_semi_implicit(model, x, qdd, dt)
-            return x_next, x_next
+        if fused:
+            from ..kernels.fused import fd_step_fused
+
+            def step_fe(x, inp):
+                u, fe = inp
+                batch = x.shape[:-1]
+                flat = 1
+                for b in batch:
+                    flat *= b
+                x_next = fd_step_fused(
+                    model, x.reshape(flat, x.shape[-1]),
+                    u.reshape(flat, u.shape[-1]), dt, gravity, f_ext=fe,
+                ).reshape(x.shape)
+                return x_next, x_next
+        else:
+            def step_fe(x, inp):
+                u, fe = inp
+                q, qd = split_state(model, x)
+                qdd = aba(model, q, qd, u, f_ext=fe, gravity=gravity)
+                x_next = euler_semi_implicit(model, x, qdd, dt)
+                return x_next, x_next
 
         U_t = jnp.moveaxis(U, -2, 0)
         _, X_t = jax.lax.scan(step_fe, x0, (U_t, F))

@@ -57,7 +57,13 @@ def bench(B, nx, nu, H, reps=8):
 
 def main():
     configs = [("arm7", 128, 14, 7, 100), ("quadruped", 1024, 36, 18, 50),
-               ("humanoid", 256, 72, 36, 32)]
+               ("humanoid", 256, 72, 36, 32),
+               # VERDICT r4 #2: the nx=72 decision at the SOLVER's humanoid
+               # batch (B=16) — the B=256 compile blew the r4 TPU budget
+               ("humanoid16", 16, 72, 36, 32)]
+    sel = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if sel:
+        configs = [c for c in configs if c[0] in sel]
     saved = batched._MXU_MIN
     try:
         for label, B, nx, nu, H in configs:
