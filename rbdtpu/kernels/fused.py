@@ -507,6 +507,26 @@ def fd_step_fused(model: RobotModel, x, u, dt: float,
     return _unpack(out, Bp)[:B]
 
 
+def step_fused_ok(model: RobotModel, batch_total: int,
+                  dtype=jnp.float32) -> bool:
+    """COMPILE PROBE for fd_step_fused at this batch/dtype.  Exists mainly
+    for NON-f32 dtypes (r5 bf16 MPPI sampling): the lane kernels were
+    designed around f32 (8, 128) tiles, and Mosaic's bf16 tiling of the
+    same 8-sublane blocks must be proven by compilation, not assumed."""
+    if batch_total % 8 != 0:
+        return False
+    from .probe import probe_ok
+
+    ms = get_static(model)
+    nx = ms.nq + ms.nv
+    sds = lambda *s: jax.ShapeDtypeStruct(s, jnp.dtype(dtype))
+    fn = lambda x, u: fd_step_fused(model, x, u, 0.01)
+    args = (sds(batch_total, nx), sds(batch_total, ms.nv))
+    key = (model.parent, model.joint_type, model.floating_base,
+           model.root_quat, _pad_batch(batch_total), jnp.dtype(dtype).name)
+    return probe_ok("fd_step", key, fn, args, on_tpu=_on_tpu())
+
+
 def _feedback_rows_total(nx: int, nv: int, ndx: int) -> int:
     """Sublane rows live in VMEM per lane-column of the feedback kernel:
     inputs x, X_t (nx each), U_t, k_t (nv each), K_t (nv*ndx) + outputs

@@ -80,7 +80,9 @@ def rollout(model: RobotModel, x0, U, dt: float, gravity: float = -9.81,
                 q, qd = split_state(model, x)
                 qdd = aba(model, q, qd, u, f_ext=fe, gravity=gravity)
                 x_next = euler_semi_implicit(model, x, qdd, dt)
-                return x_next, x_next
+                # f32 model constants promote reduced-precision states;
+                # pin the scan carry to the input dtype (bf16 sampling)
+                return x_next.astype(x.dtype), x_next.astype(x.dtype)
 
         U_t = jnp.moveaxis(U, -2, 0)
         _, X_t = jax.lax.scan(step_fe, x0, (U_t, F))
@@ -104,6 +106,7 @@ def rollout(model: RobotModel, x0, U, dt: float, gravity: float = -9.81,
             q, qd = split_state(model, x)
             qdd = aba(model, q, qd, u, gravity=gravity)
             x_next = euler_semi_implicit(model, x, qdd, dt)
+            x_next = x_next.astype(x.dtype)  # see bf16 note above
             return x_next, x_next
 
     U_t = jnp.moveaxis(U, -2, 0)  # scan over time axis

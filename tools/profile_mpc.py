@@ -168,6 +168,18 @@ def main():
             print("backward_f   (not applicable at this config)")
     except Exception as e:  # surface compile failures, keep profiling
         print(f"backward_f   FAILED: {type(e).__name__}: {e}")
+    try:
+        from rbdtpu.kernels.riccati_chunk import (
+            backward_pass_chunked, riccati_chunk_ok,
+        )
+
+        if riccati_chunk_ok(model.nq + model.nv, model.nv, B):
+            timed("backward_c", backward_pass_chunked,
+                  A, Bm, lx, lu, lxx, luu, lux, lfx, lfxx, reg)
+        else:
+            print("backward_c   (not applicable at this config)")
+    except Exception as e:
+        print(f"backward_c   FAILED: {type(e).__name__}: {e}")
     timed("forward",
           lambda X_, U_, k_, K_: forward_pass(
               model, cost, X_, U_, k_, K_, alphas, cfg.dt, cfg.gravity,
@@ -198,6 +210,14 @@ def main():
                   model, cost_f, x_, U_,
                   DDPConfig(iters=1, dt=0.01, n_alphas=8, fused=True,
                             fused_riccati=True))[0].J,
+              x0, U, reps=5)
+        # fused_riccati=False arm: the A/B against the r5 AUTO policy
+        # (chunked VMEM-resident sweep at nx>=24 on TPU)
+        timed("full_iter_fc_norb",
+              lambda x_, U_: ddp_solve(
+                  model, cost_f, x_, U_,
+                  DDPConfig(iters=1, dt=0.01, n_alphas=8, fused=True,
+                            fused_riccati=False))[0].J,
               x0, U, reps=5)
     # variant: fused dynamics kernels but jnp forward pass (decides the
     # feedback_fused_ok auto-on at this scale)
