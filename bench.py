@@ -748,11 +748,15 @@ def bench_riccati():
                 c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=R)
                 return c
 
-            g().block_until_ready()
+            # r5: HOST-FETCH sync (float(...)) — block_until_ready can
+            # return early through the tunnel (r4 finding); this row was
+            # the last pre-r4-protocol number in the tables (VERDICT r4
+            # weak #2 / next #6)
+            float(g())
             best = float("inf")
             for _ in range(5):
                 t0 = time.perf_counter()
-                g().block_until_ready()
+                float(g())
                 best = min(best, (time.perf_counter() - t0) / R)
             return best * 1e3
 
@@ -763,6 +767,21 @@ def bench_riccati():
             f"{t_par:.3f} ms ({t_seq / t_par:.2f}x)")
         out[f"sequential_ms_H{H}"] = round(t_seq, 3)
         out[f"parallel_ms_H{H}"] = round(t_par, 3)
+        try:  # r5 third arm: the VMEM-resident chunked kernel at B=1
+            from rbdtpu.kernels.riccati_chunk import backward_pass_chunked
+
+            def chunk1(A_, B_, lx_, lu_, lxx_, luu_, lux_, lfx_, lfxx_, r_):
+                return backward_pass_chunked(
+                    A_[None], B_[None], lx_[None], lu_[None], lxx_, luu_,
+                    lux_, lfx_[None], lfxx_[None], r_[None],
+                )
+
+            t_chk = time_fn(chunk1)
+            log(f"riccati H={H}: chunked-kernel {t_chk:.3f} ms")
+            out[f"chunked_ms_H{H}"] = round(t_chk, 3)
+        except Exception as e:
+            log(f"riccati H={H}: chunked arm failed: "
+                f"{str(e).splitlines()[0][:200]}")
     out["value"] = out["parallel_ms_H1000"]
     crossover = [H for H, (ts, tp) in results.items() if tp < ts]
     out["parallel_wins_at_H"] = crossover

@@ -417,11 +417,16 @@ def _vmem_estimate(nx: int, nv: int) -> int:
 
 
 def riccati_chunk_ok(nx: int, nv: int, batch_total: int,
-                     dtype=jnp.float32) -> bool:
+                     dtype=jnp.float32, const_blocks=()) -> bool:
     """True when the chunked sweep applies at this size: the VMEM estimate
     fits and (on TPU) a compile probe of the exact layout passes.  Batches
     below one 128-lane block dispatch to the small-batch (untiled-batch,
-    per-item MXU) variant, which fits up to humanoid nx."""
+    per-item MXU) variant, which fits up to humanoid nx.
+
+    const_blocks: names among {"lxx", "luu", "lux"} the caller will pass as
+    CONSTANT (n, m) arrays — the kernel arity differs per combination, so
+    the probe must compile the exact one (solver.ddp resolves it with
+    jax.eval_shape over the cost's quadratizer)."""
     if batch_total < _LANES:
         if nx > 96:  # small-variant VMEM bound (humanoid nx=72 fits)
             return False
@@ -430,13 +435,18 @@ def riccati_chunk_ok(nx: int, nv: int, batch_total: int,
     from .probe import probe_ok
 
     B = batch_total
+    const_blocks = tuple(sorted(const_blocks))
     sds = lambda *s: jax.ShapeDtypeStruct(s, jnp.dtype(dtype))
     fn = lambda A, Bm, lx, lu, lxx, luu, lux, lfx, lfxx, reg: \
         backward_pass_chunked(A, Bm, lx, lu, lxx, luu, lux, lfx, lfxx, reg)
+
+    def cost_arg(name, n, m):
+        return sds(n, m) if name in const_blocks else sds(B, 1, n, m)
+
     args = (sds(B, 1, nx, nx), sds(B, 1, nx, nv), sds(B, 1, nx),
-            sds(B, 1, nv), sds(B, 1, nx, nx), sds(B, 1, nv, nv),
-            sds(B, 1, nv, nx), sds(B, nx), sds(B, nx, nx), sds(B))
-    key = (nx, nv, _pad128(B), jnp.dtype(dtype).name)
+            sds(B, 1, nv), cost_arg("lxx", nx, nx), cost_arg("luu", nv, nv),
+            cost_arg("lux", nv, nx), sds(B, nx), sds(B, nx, nx), sds(B))
+    key = (nx, nv, _pad128(B), jnp.dtype(dtype).name, const_blocks)
     return probe_ok("riccati_chunked", key, fn, args, on_tpu=_on_tpu())
 
 

@@ -545,8 +545,24 @@ def ddp_solve(
                     and _on_tpu())
             )
             if want:
+                # the kernel arity depends on which cost blocks are
+                # CONSTANT — resolve the exact combination with a free
+                # shape-only trace so the probe compiles what will run
+                H_ = U0.shape[-2]
+                nxs = x0.shape[-1]
+                qshape = jax.eval_shape(
+                    lambda X_, U_: quadratize_trajectory(
+                        cost, X_, U_, model=model),
+                    jax.ShapeDtypeStruct(batch + (H_ + 1, nxs), x0.dtype),
+                    jax.ShapeDtypeStruct(batch + (H_, model.nv), x0.dtype),
+                )
+                consts = tuple(
+                    nm for nm, arr in zip(("lxx", "luu", "lux"), qshape[2:5])
+                    if arr.ndim == 2
+                )
                 use_chunk_bwd = riccati_chunk_ok(
-                    nx_dim, model.nv, batch_flat, x0.dtype
+                    nx_dim, model.nv, batch_flat, x0.dtype,
+                    const_blocks=consts,
                 )
 
     X0 = roll0(x0, U0)

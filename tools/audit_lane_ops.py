@@ -60,6 +60,32 @@ def census(fn, *args):
     return counts
 
 
+def critical_path(fn, *args):
+    """Weighted depth of the longest dependent op chain in the traced body
+    (r5, VERDICT r4 #5): every eqn's outputs sit at
+    max(depth of inputs) + weight(op).  The VPU can only overlap
+    INDEPENDENT ops across its 4 ALUs, so the retire-rate ceiling is
+    total_slots / max(4, total_slots / critical_path) — when the available
+    ILP (total/critical) is under 4, the kernel is CHAIN-bound and no
+    scheduler can reach the 4-ALU issue bound."""
+    jaxpr = jax.make_jaxpr(fn)(*args)
+
+    depth = {}
+
+    def dof(v):
+        return depth.get(id(v), 0) if not hasattr(v, "val") else 0
+
+    def walk(jx):
+        for eqn in jx.eqns:
+            w = WEIGHTS.get(eqn.primitive.name, 1)
+            d = max((dof(v) for v in eqn.invars), default=0) + w
+            for o in eqn.outvars:
+                depth[id(o)] = d
+
+    walk(jaxpr.jaxpr)
+    return max(depth.values(), default=0)
+
+
 def report(label, counts, per_what="state-step"):
     total = sum(counts.values())
     slots = sum(WEIGHTS.get(k, 1) * v for k, v in counts.items())
@@ -164,6 +190,20 @@ def main():
         bound = vpu_slots_per_s / slots * (8 * 128)
         print(f"  {lbl}: {slots} slots -> {bound/1e6:,.0f}M state-steps/s "
               "attainable (0 overhead)")
+
+    # dependency-chain account (r5, VERDICT r4 #5): weighted critical path
+    # vs total slots gives the ILP actually available to fill 4 ALUs
+    print("\ndependency-chain account (weighted critical path):")
+    for lbl, fn, slots in (("minv-route step", full_step, slots_minv),
+                           ("aba-route step", aba_step, slots_aba)):
+        cp = critical_path(fn, *(q + qd + u))
+        ilp = slots / cp
+        eff_alus = min(4.0, ilp)
+        chain_bound = vpu_slots_per_s / 4 * eff_alus / slots * (8 * 128)
+        print(f"  {lbl}: critical path {cp} slots, ILP {ilp:.2f} "
+              f"(4 ALUs need 4.0) -> chain-adjusted ceiling "
+              f"{chain_bound/1e6:,.0f}M steps/s "
+              f"({eff_alus/4:.0%} of the issue bound)")
 
 
 if __name__ == "__main__":
