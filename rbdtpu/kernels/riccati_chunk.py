@@ -205,9 +205,13 @@ def _chol_cols(Quu, reg, n):
         for t in range(j):
             s = s - cols[t] * cols[t][:, :, j:j + 1]
         # reg lands on the diagonal only; the off-diagonal lanes of s must
-        # stay unregularized
-        d = jnp.sqrt(s[:, :, j:j + 1] + reg)
-        invd[j] = 1.0 / d
+        # stay unregularized.  sqrt/divide are computed at FULL (B, 1, n)
+        # row width and the diagonal lane sliced AFTER: Mosaic's remote
+        # compiler crashes on transcendentals over (B, 1, 1)-shaped values
+        # (r5 pattern bisect, tools/dbg_small_patterns.py); the extra lanes
+        # hold garbage (sqrt of off-diagonal entries) that is never read
+        inv_row = 1.0 / jnp.sqrt(s + reg)
+        invd[j] = inv_row[:, :, j:j + 1]
         cols[j] = s * invd[j]
     return cols, invd
 
@@ -244,13 +248,16 @@ def _riccati_knot_small(Am, Bm, lxr, lur, lxx, luu, lux, reg, Vxr, Vxx,
     Qux = lux + _per_item(_dotT, Bm, P)   # (B, nv, nx)
 
     cols, invd = _chol_cols(Quu, reg, nv)
-    rhs = [
-        jnp.concatenate([Qur[:, :, i:i + 1], Qux[:, i:i + 1, :]], axis=2)
-        for i in range(nv)
-    ]
-    sol = _chol_solve_rows_small(cols, invd, rhs)
-    krow = -jnp.concatenate([s[:, :, 0:1] for s in sol], axis=2)  # (B,1,nv)
-    K = -jnp.concatenate([s[:, :, 1:] for s in sol], axis=1)      # (B,nv,nx)
+    # k and K solved SEPARATELY sharing the factor: a joint [Qu | Qux] row
+    # system (one concat per row) crashes the Mosaic remote compiler (r5
+    # bisect, tools/dbg_small_patterns9.py — mixed lane-slice/row concats of
+    # computed values); per-row homogeneous rhs lowers fine
+    sol_K = _chol_solve_rows_small(
+        cols, invd, [Qux[:, i:i + 1, :] for i in range(nv)])
+    K = -jnp.concatenate(sol_K, axis=1)                           # (B,nv,nx)
+    sol_k = _chol_solve_rows_small(
+        cols, invd, [Qur[:, :, i:i + 1] for i in range(nv)])
+    krow = -jnp.concatenate(sol_k, axis=2)                        # (B,1,nv)
 
     QuuK = _per_item(_dot, Quu, K)
     kQuu = _per_item(_dot, krow, Quu)     # (Quu k)^T (Quu symmetric)

@@ -560,12 +560,16 @@ def test_probe_failure_degrades_gracefully(arm7, rng, monkeypatch):
 
     monkeypatch.setenv(
         "RBDTPU_PROBE_FAIL",
-        "feedback_rollout,feedback_chunked,colvec_linearize,riccati_backward",
+        "feedback_rollout,feedback_chunked,colvec_linearize,"
+        "riccati_backward,riccati_chunked",
     )
     probe.clear()
     try:
+        from rbdtpu.kernels.riccati_chunk import riccati_chunk_ok
+
         assert not feedback_fused_ok(arm7, 64)
         assert not linearize_fused_ok(arm7, 64)
+        assert not riccati_chunk_ok(36, 18, 64)
 
         H = 8
         cost = quadratic_tracking_cost(arm7, jnp.zeros(arm7.nx))

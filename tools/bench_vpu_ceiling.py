@@ -28,15 +28,26 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
 sys.path.insert(0, ".")
 
 
-def make_bench(M, D, L, reps, r_in=256):
+def make_bench(M, D, L, reps, r_in=256, mem=False):
+    NBUF = 64
+
     def kernel(x_ref, o_ref):
         # r_in repeats inside the kernel amortize the ~27 us launch floor;
         # the round constant depends on the loop carry so nothing folds
         def body(_, rows):
+            out = list(rows)
             for d in range(D):
                 c = 1.0 + 1e-6 * d
-                rows = tuple(r * c + 0.5 for r in rows)
-            return rows
+                if mem:
+                    # every FMA reads a distinct VMEM operand (static
+                    # index) — models the real kernels' value traffic
+                    out = [
+                        out[i] * x_ref[(d * M + i) % NBUF] + c
+                        for i in range(M)
+                    ]
+                else:
+                    out = [r * c + 0.5 for r in out]
+            return tuple(out)
 
         rows = tuple(x_ref[i] for i in range(M))
         rows = jax.lax.fori_loop(0, r_in, body, rows)
@@ -46,7 +57,8 @@ def make_bench(M, D, L, reps, r_in=256):
     call = pl.pallas_call(
         kernel,
         grid=(1,),
-        in_specs=[pl.BlockSpec((M, 8, L), lambda b: (0, 0, 0),
+        in_specs=[pl.BlockSpec((max(NBUF, M) if mem else M, 8, L),
+                               lambda b: (0, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((M, 8, L), lambda b: (0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -66,16 +78,18 @@ def make_bench(M, D, L, reps, r_in=256):
 
 
 def main():
-    M = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    D = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-    L = int(sys.argv[3]) if len(sys.argv) > 3 else 128
+    args = [a for a in sys.argv[1:] if a != "mem"]
+    mem = "mem" in sys.argv[1:]
+    M = int(args[0]) if len(args) > 0 else 16
+    D = int(args[1]) if len(args) > 1 else 64
+    L = int(args[2]) if len(args) > 2 else 128
     r_in = 4096
-    print(f"devices={jax.devices()} M={M} D={D} L={L} r_in={r_in}")
+    print(f"devices={jax.devices()} M={M} D={D} L={L} r_in={r_in} mem={mem}")
     for m in (1, 2, 4, 8, M):
-        x = jnp.ones((m, 8, L), jnp.float32)
+        x = jnp.ones((max(64, m), 8, L), jnp.float32)
         times = {}
         for reps in (8, 32):
-            many = make_bench(m, D, L, reps, r_in)
+            many = make_bench(m, D, L, reps, r_in, mem)
             t0 = time.perf_counter()
             float(many(x, jnp.float32(0.0)))
             cs = time.perf_counter() - t0

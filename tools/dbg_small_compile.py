@@ -22,3 +22,8 @@ def try_cfg(nx, nv, B, H, timed=True):
 
 for cfg in [(10, 4, 8, 3), (36, 18, 8, 3), (72, 36, 8, 2), (72, 36, 16, 32)]:
     try_cfg(*cfg)
+
+if len(sys.argv) > 1 and sys.argv[1] == "cliff":
+    for cfg in [(48, 24, 8, 2), (60, 30, 8, 2), (66, 33, 8, 2),
+                (72, 36, 8, 1)]:
+        try_cfg(*cfg)

@@ -103,10 +103,13 @@ def main():
                                                     else 1024)
     H = int(sys.argv[3]) if len(sys.argv) > 3 else (100 if name == "arm7"
                                                     else 50)
-    model = load_asset(name, dtype=np.float32, floating_base=fb)
-    print(f"model={name} nx={model.nq + model.nv} nv={model.nv} B={B} H={H} "
+    use_quat = "quat" in sys.argv[4:]
+    kw = dict(root_quat=True) if (fb and use_quat) else {}
+    model = load_asset(name, dtype=np.float32, floating_base=fb, **kw)
+    print(f"model={name}{' quat' if use_quat else ''} "
+          f"nx={model.nq + model.nv} nv={model.nv} B={B} H={H} "
           f"devices={jax.devices()}")
-    use_ee = name == "arm7" or (len(sys.argv) > 4 and sys.argv[4] == "ee")
+    use_ee = name == "arm7" or "ee" in sys.argv[4:]
     cost_f = None
     if use_ee:
         ee_kw = dict(w_ee=10.0, w_ee_f=2000.0, w_u=1e-6, w_qd=1e-3,
@@ -119,6 +122,8 @@ def main():
                                   **ee_kw)
     else:
         goal = jnp.zeros(model.nq + model.nv, jnp.float32)
+        if fb and use_quat:
+            goal = goal.at[3].set(1.0)  # identity root quaternion
         cost = quadratic_tracking_cost(model, goal, w_q=2.0, w_qd=0.05,
                                        w_u=1e-5)
     cfg = DDPConfig(iters=1, dt=0.01, n_alphas=8, fused=True)
@@ -126,6 +131,10 @@ def main():
     q0 = 0.2 * jax.random.normal(key, (B, model.nq), jnp.float32)
     if fb:
         q0 = q0.at[:, 2].add(0.35)
+    if fb and use_quat:
+        quat = q0[:, 3:7].at[:, 0].add(2.0)  # near-identity, unit-normalized
+        q0 = q0.at[:, 3:7].set(
+            quat / jnp.linalg.norm(quat, axis=-1, keepdims=True))
     x0 = jnp.concatenate([q0, jnp.zeros((B, model.nv), jnp.float32)], -1)
     zero = jnp.zeros((B, model.nv), jnp.float32)
     u_hold = rnea(model, q0, zero, zero)[0]
