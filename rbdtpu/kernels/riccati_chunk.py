@@ -191,6 +191,50 @@ def _per_item(f, *ops):
     return jnp.stack([f(*(o[b] for o in ops)) for b in range(Bc)])
 
 
+def _chol_scratch(Quu, reg, n, L_ref):
+    """Column-wise Cholesky of Quu + reg I with the factor accumulated in
+    VMEM scratch: L_ref row t holds COLUMN t of L, and each column's
+    prefix subtraction is ONE per-item dot over the slice-bounded range
+    [0, j) — O(n) vectorized steps.  The fully-unrolled scalar-FMA form
+    (kept below for the bisect harnesses) produces an O(n^2)-op kernel
+    body that crashes the Mosaic remote compile helper at nv >= 30 (r5
+    cliff bisect, tools/dbg_small_compile.py).  Slice-bounded reads touch
+    only rows written this knot, so no scratch initialization is needed.
+    Returns the 1/diag (B, 1, 1) scalars."""
+    invd = [None] * n
+    for j in range(n):
+        s = Quu[:, j:j + 1, :]
+        if j > 0:
+            Lv = L_ref[:, 0:j, :]
+            s = s - _per_item(_dotT, Lv[:, :, j:j + 1], Lv)
+        inv_row = 1.0 / jnp.sqrt(s + reg)
+        invd[j] = inv_row[:, :, j:j + 1]
+        L_ref[:, j:j + 1, :] = s * invd[j]
+    return invd
+
+
+def _solve_scratch(L_ref, invd, rhs_rows, n, Y_ref):
+    """(L L^T)^{-1} b with b as n rows (B, 1, m), against the scratch
+    factor of _chol_scratch: forward substitution into Y_ref, then the
+    backward pass in place (row i is read before being overwritten with
+    the solution row).  Each step is one slice-bounded per-item dot."""
+    for i in range(n):
+        s = rhs_rows[i]
+        if i > 0:
+            Lc = L_ref[:, 0:i, i:i + 1]      # L[i, t] for t < i
+            s = s - _per_item(_dotT, Lc, Y_ref[:, 0:i, :])
+        Y_ref[:, i:i + 1, :] = s * invd[i]
+    out = [None] * n
+    for i in reversed(range(n)):
+        s = Y_ref[:, i:i + 1, :]
+        if i < n - 1:
+            Lr = L_ref[:, i:i + 1, i + 1:]   # L[t, i] for t > i, as a row
+            s = s - _per_item(_dot, Lr, Y_ref[:, i + 1:, :])
+        out[i] = s * invd[i]
+        Y_ref[:, i:i + 1, :] = out[i]
+    return out
+
+
 def _chol_cols(Quu, reg, n):
     """Column-wise Cholesky of Quu + reg I with columns stored LANE-major:
     cols[t] is (B, 1, n) with lane index i holding L[i, t] (a (B, n, 1)
@@ -236,9 +280,10 @@ def _chol_solve_rows_small(cols, invd, rows):
 
 
 def _riccati_knot_small(Am, Bm, lxr, lur, lxx, luu, lux, reg, Vxr, Vxx,
-                        nx, nv):
+                        nx, nv, L_ref, Y_ref, y1_ref):
     """One Riccati step, batch untiled: Am (B, nx, nx), Bm (B, nx, nv),
-    vectors ROW-major (B, 1, n), reg (B, 1, 1).  Returns
+    vectors ROW-major (B, 1, n), reg (B, 1, 1); L_ref/Y_ref/y1_ref VMEM
+    scratch for the factor and substitutions (see _chol_scratch).  Returns
     (krow (B,1,nv), K (B,nv,nx), dV1 (B,1,1), Vxr_new, Vxx_new)."""
     P = _per_item(_dot, Vxx, Am)          # Vxx A   (B, nx, nx)
     Pb = _per_item(_dot, Vxx, Bm)         # Vxx B   (B, nx, nv)
@@ -247,16 +292,16 @@ def _riccati_knot_small(Am, Bm, lxr, lur, lxx, luu, lux, reg, Vxr, Vxx,
     Quu = luu + _per_item(_dotT, Bm, Pb)
     Qux = lux + _per_item(_dotT, Bm, P)   # (B, nv, nx)
 
-    cols, invd = _chol_cols(Quu, reg, nv)
+    invd = _chol_scratch(Quu, reg, nv, L_ref)
     # k and K solved SEPARATELY sharing the factor: a joint [Qu | Qux] row
     # system (one concat per row) crashes the Mosaic remote compiler (r5
     # bisect, tools/dbg_small_patterns9.py — mixed lane-slice/row concats of
     # computed values); per-row homogeneous rhs lowers fine
-    sol_K = _chol_solve_rows_small(
-        cols, invd, [Qux[:, i:i + 1, :] for i in range(nv)])
+    sol_K = _solve_scratch(
+        L_ref, invd, [Qux[:, i:i + 1, :] for i in range(nv)], nv, Y_ref)
     K = -jnp.concatenate(sol_K, axis=1)                           # (B,nv,nx)
-    sol_k = _chol_solve_rows_small(
-        cols, invd, [Qur[:, :, i:i + 1] for i in range(nv)])
+    sol_k = _solve_scratch(
+        L_ref, invd, [Qur[:, :, i:i + 1] for i in range(nv)], nv, y1_ref)
     krow = -jnp.concatenate(sol_k, axis=2)                        # (B,1,nv)
 
     QuuK = _per_item(_dot, Quu, K)
@@ -329,7 +374,8 @@ def _backward_small(A, B, lx, lu, lxx, luu, lux, lfx, lfxx, reg,
         c_refs = dict(zip(cnames, refs[4 + n_t:4 + n_t + len(cnames)]))
         lfx_ref, lfxx_ref, reg_ref = refs[4 + n_t + len(cnames):
                                           7 + n_t + len(cnames)]
-        k_ref, K_ref, dV_ref, Vxr_s, Vxx_s = refs[7 + n_t + len(cnames):]
+        (k_ref, K_ref, dV_ref, Vxr_s, Vxx_s, L_s, Y_s,
+         y1_s) = refs[7 + n_t + len(cnames):]
 
         h = pl.program_id(1)
 
@@ -346,7 +392,7 @@ def _backward_small(A, B, lx, lu, lxx, luu, lux, lfx, lfxx, reg,
         krow, K, dV1, Vxr_new, Vxx_new = _riccati_knot_small(
             A_ref[0], B_ref[0], lx_ref[0], lu_ref[0],
             block("lxx"), block("luu"), block("lux"), reg_ref[...],
-            Vxr_s[...], Vxx_s[...], nx, nv,
+            Vxr_s[...], Vxx_s[...], nx, nv, L_s, Y_s, y1_s,
         )
         k_ref[0] = krow
         K_ref[0] = K
@@ -385,6 +431,9 @@ def _backward_small(A, B, lx, lu, lxx, luu, lux, lfx, lfxx, reg,
         scratch_shapes=[
             pltpu.VMEM((Bc, 1, nx), dt_),
             pltpu.VMEM((Bc, nx, nx), dt_),
+            pltpu.VMEM((Bc, nv, nv), dt_),   # L factor (rows = columns)
+            pltpu.VMEM((Bc, nv, nx), dt_),   # K substitution buffer
+            pltpu.VMEM((Bc, nv, 1), dt_),    # k substitution buffer
         ],
         interpret=interpret,
     )
