@@ -536,12 +536,14 @@ def bench_quadruped_ee_mpc():
     return rate
 
 
-def bench_humanoid_hybrid(root_quat: bool = False):
+def bench_humanoid_hybrid(root_quat: bool = False, sampling_dtype=None):
     """BASELINE.json configs[4]: humanoid (~30 DoF + fb) sampling+DDP hybrid.
 
     root_quat=True runs the same task on the singularity-free quaternion
     root (nq != nv, tangent-space DDP — VERDICT r1 item 5); the rpy variant
-    stays for baseline continuity."""
+    stays for baseline continuity.  sampling_dtype="bfloat16" runs the
+    MPPI sample rollouts in bf16 (r5, VERDICT r4 #9) — callers compare the
+    returned mean accepted cost against the f32 run for the drift check."""
     from rbdtpu.model import load_asset
     from rbdtpu.solver import (
         DDPConfig, MPPIConfig, hybrid_solve, quadratic_tracking_cost,
@@ -570,7 +572,8 @@ def bench_humanoid_hybrid(root_quat: bool = False):
                                    w_u=1e-5)
     u_hold = rnea(model, q0, zero, zero)[0]
     U0 = jnp.broadcast_to(u_hold[:, None, :], (Bm, H, model.nv))
-    mcfg = MPPIConfig(n_samples=128, sigma=0.3, dt=0.01, fused=True)
+    mcfg = MPPIConfig(n_samples=128, sigma=0.3, dt=0.01, fused=True,
+                      sampling_dtype=sampling_dtype)
     dcfg = DDPConfig(iters=4, dt=0.01, n_alphas=4, fused=True)
     # natively batched hybrid (problems x samples flatten into ONE fused
     # rollout lane batch; vmap-of-problems would block the packed kernels)
@@ -579,11 +582,12 @@ def bench_humanoid_hybrid(root_quat: bool = False):
         lambda x, U, k: hybrid_solve(model, cost, x, U, k, mcfg, dcfg,
                                      mppi_iters=4)[0].J
     )
-    rate, _ = timed_solve_rate(
+    tag = "" if sampling_dtype is None else f" {sampling_dtype}"
+    rate, jm = timed_solve_rate(
         lambda x, U: f(x, U, key), x0, U0, Bm, reps=6, calls=3,
-        label=f"humanoid hybrid{' quat' if root_quat else ''}",
+        label=f"humanoid hybrid{' quat' if root_quat else ''}{tag}",
     )
-    return rate
+    return rate, jm
 
 
 def bench_idsva_humanoid_quat():
@@ -903,15 +907,35 @@ def arm_quadruped_ee():
 
 
 def arm_humanoid():
-    v = round(bench_humanoid_hybrid(), 1)
+    v, jm = bench_humanoid_hybrid()
+    v = round(v, 1)
     emit("humanoid_hybrid_solves_per_s", v, "solves/s")
     SUMMARY["humanoid_hybrid_solves_per_s"] = v
+    SUMMARY["humanoid_hybrid_meanJ_f32"] = jm
 
 
 def arm_humanoid_quat():
-    v = round(bench_humanoid_hybrid(root_quat=True), 1)
+    v, _ = bench_humanoid_hybrid(root_quat=True)
+    v = round(v, 1)
     emit("humanoid_hybrid_quat_solves_per_s", v, "solves/s")
     SUMMARY["humanoid_hybrid_quat_solves_per_s"] = v
+
+
+def arm_humanoid_bf16():
+    """r5 (VERDICT r4 #9): bf16 MPPI sampling stage on the humanoid hybrid.
+    The accuracy check rides along: mean accepted cost drift vs the f32
+    arm (the sampling stage only needs ranking fidelity; the acceptance
+    guard re-scores in f32, so drift measures ranking loss, not guard
+    error)."""
+    v, jm = bench_humanoid_hybrid(sampling_dtype="bfloat16")
+    v = round(v, 1)
+    jf = SUMMARY.get("humanoid_hybrid_meanJ_f32")
+    drift = None if not jf else abs(jm - jf) / max(abs(jf), 1e-9)
+    emit("humanoid_hybrid_bf16_solves_per_s", v, "solves/s",
+         meanJ_drift_vs_f32=None if drift is None else round(drift, 4))
+    SUMMARY["humanoid_hybrid_bf16_solves_per_s"] = v
+    if drift is not None:
+        SUMMARY["humanoid_hybrid_bf16_meanJ_drift"] = round(drift, 4)
 
 
 def arm_humanoid_quat_ee():
@@ -953,6 +977,9 @@ ARMS = [
     ("RBDTPU_BENCH_HUMANOID_QUAT_EE", arm_humanoid_quat_ee),
     ("RBDTPU_BENCH_SO", arm_idsva),
     ("RBDTPU_BENCH_SO_HUMANOID_QUAT", arm_idsva_humanoid_quat),
+    # r5 additions LAST (VERDICT r4 #10: headline metrics always land
+    # before new arms can eat the driver budget)
+    ("RBDTPU_BENCH_HUMANOID_BF16", arm_humanoid_bf16),
 ]
 
 

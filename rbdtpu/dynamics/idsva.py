@@ -110,7 +110,17 @@ def idsva_so_native(model: RobotModel, q, qd, qdd, gravity: float = -9.81):
     this implementation also covers the FLOATING BASE natively — see
     ``_idsva_so_native_fb``).
 
-    (..., n) inputs -> 4 tensors (..., n, n, n); arbitrary leading batch."""
+    (..., n) inputs -> 4 tensors (..., n, n, n); arbitrary leading batch.
+
+    Size crossover (measured, v5e r4 driver capture): at arm scale (n=7)
+    the native sweep is a near-wash with plain forward-over-reverse AD
+    (615k native vs 540k AD eval/s — +14%); its value is the large-n /
+    floating-base regime, where the AD fallback needs O(n^2) tangent RNEA
+    evaluations per sample (humanoid-30 QUAT root: 28.8k native vs 153.7
+    retraction-AD eval/s — 187x).  Callers that only ever evaluate
+    fixed-base arm-class models can use ``idsva_so_ad`` interchangeably;
+    the solver's exact-Hessian path uses this native sweep everywhere
+    because its advantage grows superlinearly with n."""
     if model.floating_base:
         return _idsva_so_native_fb(model, q, qd, qdd, gravity)
     n = model.nv

