@@ -65,12 +65,28 @@ def _mm(A, M):
     return acc
 
 
+def _usum0(t):
+    """Tree-sum over the untiled leading axis.  A plain jnp.sum chains ~n
+    DEPENDENT adds at the VPU's ~3-cycle op latency (r5 synthetic: a
+    single dependent chain runs at 0.36-1.9 ops/cycle vs ~3.5 saturated —
+    tools/bench_vpu_ceiling.py); the log-depth tree exposes n/2-wide
+    independent adds per level instead."""
+    while t.shape[0] > 1:
+        n = t.shape[0]
+        h = n // 2
+        s = t[:h] + t[h:2 * h]
+        if n % 2:
+            s = jnp.concatenate([s, t[2 * h:]], axis=0)
+        t = s
+    return t[0]
+
+
 def _mtm(A, M):
     """A^T @ M for (nj, ni, L) x (nj, nk, L) -> (ni, nk, L), built row-wise
-    as multiply + untiled-axis reduction (no relayout)."""
+    as multiply + untiled-axis tree reduction (no relayout)."""
     ni = A.shape[1]
     rows = [
-        jnp.sum(A[:, i:i + 1, :] * M, axis=0)[None] for i in range(ni)
+        _usum0(A[:, i:i + 1, :] * M)[None] for i in range(ni)
     ]
     return jnp.concatenate(rows, axis=0)
 
@@ -78,7 +94,7 @@ def _mtm(A, M):
 def _mtv(A, v):
     """A^T @ v for (nj, ni, L) x (nj, 1, L) -> (ni, 1, L)."""
     ni = A.shape[1]
-    return jnp.sum(A * v, axis=0).reshape(ni, 1, A.shape[2])
+    return _usum0(A * v).reshape(ni, 1, A.shape[2])
 
 
 def _chol(Quu, reg, n):
@@ -146,12 +162,12 @@ def _riccati_knot(Am, Bm, lx, lu, lxx, luu, lux, reg, Vx, Vxx, nx, nv):
     # operand is sliced, so no in-kernel transpose is needed.
     rows = []
     for i in range(nx):
-        g = jnp.sum(Am[:, i:i + 1, :] * P, axis=0)
-        gt = jnp.sum(Am * P[:, i:i + 1, :], axis=0)
-        kk = jnp.sum(K[:, i:i + 1, :] * QuuK, axis=0)
-        kkt = jnp.sum(K * QuuK[:, i:i + 1, :], axis=0)
-        w = jnp.sum(K[:, i:i + 1, :] * Qux, axis=0)
-        wt = jnp.sum(K * Qux[:, i:i + 1, :], axis=0)
+        g = _usum0(Am[:, i:i + 1, :] * P)
+        gt = _usum0(Am * P[:, i:i + 1, :])
+        kk = _usum0(K[:, i:i + 1, :] * QuuK)
+        kkt = _usum0(K * QuuK[:, i:i + 1, :])
+        w = _usum0(K[:, i:i + 1, :] * Qux)
+        wt = _usum0(K * Qux[:, i:i + 1, :])
         rows.append(
             lxx[i:i + 1] + (0.5 * (g + gt) + 0.5 * (kk + kkt) + w + wt)[None]
         )
