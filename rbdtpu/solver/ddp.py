@@ -83,12 +83,15 @@ class DDPConfig:
     # Off = iLQR (Gauss-Newton), the usual default
     exact_hessians: bool = False
     # fused feedback-rollout line search (kernels.feedback_rollout_fused):
-    # None = auto (on whenever ``fused`` and the packed K gain blocks fit
-    # VMEM — kernels.fused.feedback_fused_ok); True = additionally allow the
-    # chunked-K tier when the unchunked kernel doesn't fit (measured SLOWER
-    # than the jnp pass at large-batch humanoid — 857.7 vs 881.1 solves/s at
-    # Bm=256/H=32 — hence opt-in); False = force the jnp forward pass (used
-    # by equivalence tests)
+    # None = auto (on whenever ``fused``, the packed K gain blocks fit
+    # VMEM — kernels.fused.feedback_fused_ok — AND the flattened
+    # alpha x batch lane count is >= 256, its measured win regime; at tiny
+    # batches the jnp pass is faster — r5: humanoid B=16 full_iter 9.5 vs
+    # 8.3 ms); True = force the kernel at any size and additionally allow
+    # the chunked-K tier when the unchunked kernel doesn't fit (measured
+    # SLOWER than the jnp pass at large-batch humanoid — 857.7 vs 881.1
+    # solves/s at Bm=256/H=32 — hence opt-in); False = force the jnp
+    # forward pass (used by equivalence tests)
     fused_feedback: bool | None = None
     # fused Riccati backward sweep.  Two kernels by size regime:
     # lane-scalar (kernels.riccati, arm-class nx <= 16 — measured LOSS at
@@ -504,9 +507,16 @@ def ddp_solve(
 
     fwd_nchunks = None
     with_fe = F is not None
+    # auto floor (r5 measured): the feedback kernel's win regime is large
+    # lane batches (arm B*alphas=1024: 2.4x; quadruped 6k: -27% iter); at
+    # tiny batches it LOSES to the jnp pass (humanoid B=16*8=128 lanes:
+    # full_iter 9.5 vs 8.3 ms with it off; same direction in r4).  None =
+    # auto applies the floor; True forces the kernel at any size.
+    auto_fb = batch_flat * config.n_alphas >= 256
     use_fused_fwd = (
         config.fused
         and config.fused_feedback is not False
+        and (config.fused_feedback is True or auto_fb)
         and feedback_fused_ok(model, batch_flat * config.n_alphas, x0.dtype,
                               with_fext=with_fe)
     )

@@ -228,6 +228,15 @@ def main():
                   DDPConfig(iters=1, dt=0.01, n_alphas=8, fused=True,
                             fused_riccati=False))[0].J,
               x0, U, reps=5)
+    if cost_f is None:
+        # tracking-cost configs need the fused_riccati=False arm too (the
+        # r5 auto-policy A/B; EE configs get it as full_iter_fc_norb)
+        timed("full_iter_norb",
+              lambda x_, U_: ddp_solve(
+                  model, cost, x_, U_,
+                  DDPConfig(iters=1, dt=0.01, n_alphas=8, fused=True,
+                            fused_riccati=False))[0].J,
+              x0, U, reps=5)
     # variant: fused dynamics kernels but jnp forward pass (decides the
     # feedback_fused_ok auto-on at this scale)
     timed("full_iter_nofb",
