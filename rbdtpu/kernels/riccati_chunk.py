@@ -66,24 +66,17 @@ def _mm(A, M):
 
 
 def _usum0(t):
-    """Tree-sum over the untiled leading axis.  A plain jnp.sum chains ~n
-    DEPENDENT adds at the VPU's ~3-cycle op latency (r5 synthetic: a
-    single dependent chain runs at 0.36-1.9 ops/cycle vs ~3.5 saturated —
-    tools/bench_vpu_ceiling.py); the log-depth tree exposes n/2-wide
-    independent adds per level instead."""
-    while t.shape[0] > 1:
-        n = t.shape[0]
-        h = n // 2
-        s = t[:h] + t[h:2 * h]
-        if n % 2:
-            s = jnp.concatenate([s, t[2 * h:]], axis=0)
-        t = s
-    return t[0]
+    """Sum over the untiled leading axis.  MEASURED (r5, v5e): a log-depth
+    tree variant (halve-and-add with concat for odd remainders) LOST to
+    this plain reduce at quadruped scale — 17.18 vs 15.49 ms/sweep slope —
+    despite the VPU's ~3-cycle dependent-add latency; the concat/slice
+    churn outweighs the exposed ILP, so the sequential form stands."""
+    return jnp.sum(t, axis=0)
 
 
 def _mtm(A, M):
     """A^T @ M for (nj, ni, L) x (nj, nk, L) -> (ni, nk, L), built row-wise
-    as multiply + untiled-axis tree reduction (no relayout)."""
+    as multiply + untiled-axis reduction (no relayout)."""
     ni = A.shape[1]
     rows = [
         _usum0(A[:, i:i + 1, :] * M)[None] for i in range(ni)
