@@ -1098,8 +1098,11 @@ def rollout_fused_multi(model: RobotModel, x0, U, dt: float,
              for i in range(ms.nb)]
             if has_fe else None
         )
-        q_new, qd_new = _step_lane(ms, q_s, qd_s, u_s, dt, gravity, route,
-                                   f_ext=fe)
+        from .ilpsched import ilp_call
+        q_new, qd_new = ilp_call(
+            lambda qs, qds, us, fe_: _step_lane(
+                ms, qs, qds, us, dt, gravity, route, f_ext=fe_),
+            q_s, qd_s, u_s, fe)
         for i in range(nq):
             xs[i] = q_new[i]
         for i in range(n):
