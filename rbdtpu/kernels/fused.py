@@ -692,23 +692,31 @@ def feedback_rollout_fused(model: RobotModel, x0, X_nom, U_nom, k_ff, K_fb,
             (H, nbw, 8, BT),
         )
 
-    def kernel(x_ref, Xt_ref, Ut_ref, kt_ref, Kt_ref, *rest):
-        xo_ref, uo_ref = rest[-2], rest[-1]
-        x = [x_ref[i] for i in range(nx)]
-        dx = _dx_rows(ms, x, [Xt_ref[i] for i in range(nx)])
+    def _body(x, Xt, Ut, kt, Kt, fe):
+        dx = _dx_rows(ms, x, Xt)
         u = []
         for i in range(nv):
-            acc = Ut_ref[i] + kt_ref[i]
+            acc = Ut[i] + kt[i]
             for j in range(ndx):
-                acc = acc + Kt_ref[i * ndx + j] * dx[j]
+                acc = acc + Kt[i * ndx + j] * dx[j]
             if lims is not None and np.isfinite(lims[i]):
                 acc = jnp.clip(acc, -lims[i], lims[i])
             u.append(acc)
         q_s, qd_s = x[:nq], x[nq:]
-        fe = _fext_lists(ms, rest[0]) if has_fe else None
         qdd = aba_lane(ms, q_s, qd_s, u, gravity, f_ext=fe)
         qd_new = [qd_s[i] + dt * qdd[i] for i in range(nv)]
         q_new = _integrate_q_lane(ms, q_s, qd_new, dt)
+        return q_new, qd_new, u
+
+    def kernel(x_ref, Xt_ref, Ut_ref, kt_ref, Kt_ref, *rest):
+        from .ilpsched import ilp_call
+        xo_ref, uo_ref = rest[-2], rest[-1]
+        x = [x_ref[i] for i in range(nx)]
+        fe = _fext_lists(ms, rest[0]) if has_fe else None
+        q_new, qd_new, u = ilp_call(
+            _body, x, [Xt_ref[i] for i in range(nx)],
+            [Ut_ref[i] for i in range(nv)], [kt_ref[i] for i in range(nv)],
+            [Kt_ref[i] for i in range(nv * ndx)], fe)
         for i in range(nq):
             xo_ref[i] = q_new[i]
         for i in range(nv):

@@ -610,10 +610,12 @@ def backward_pass_chunked(A, B, lx, lu, lxx, luu, lux, lfx, lfxx, reg,
                 return t_refs[name][0]
             return c_refs[name][...]
 
-        k, K, dV1, Vx_new, Vxx_new = _riccati_knot(
+        from .ilpsched import ilp_call
+        k, K, dV1, Vx_new, Vxx_new = ilp_call(
+            lambda *ops_: _riccati_knot(*ops_, nx, nv),
             A_ref[0], B_ref[0], lx_ref[0], lu_ref[0],
             block("lxx"), block("luu"), block("lux"), reg_ref[...],
-            Vx_s[...], Vxx_s[...], nx, nv,
+            Vx_s[...], Vxx_s[...],
         )
         k_ref[0] = k
         K_ref[0] = K
