@@ -337,10 +337,11 @@ def _backward_small(A, B, lx, lu, lxx, luu, lux, lfx, lfxx, reg,
     UNTILED dim, matrices (8, n, m) blocks (n sublanes, m lanes), per-item
     MXU dots.  Covers the humanoid regime (B = 4-16, nx = 72) where the
     lane-blocked kernel would pad 16 -> 128 lanes and blow VMEM."""
+    import os
     nx, nv = A.shape[-1], B.shape[-1]
     H = A.shape[-3]
     dt_ = A.dtype
-    Bc = _SMALL_BC
+    Bc = int(os.environ.get("RBDTPU_RICCATI_BC", _SMALL_BC))
     Bs = ((Bn + Bc - 1) // Bc) * Bc
     nbb = Bs // Bc
 
@@ -538,8 +539,11 @@ def backward_pass_chunked(A, B, lx, lu, lxx, luu, lux, lfx, lfxx, reg,
         Bn *= b
     if interpret is None:
         interpret = not _on_tpu()
-    if Bn < _LANES:
+    import os
+    strat = os.environ.get("RBDTPU_RICCATI_STRATEGY", "auto")
+    if strat == "small" or (strat != "lane" and Bn < _LANES):
         # sub-lane-block batches: untiled-batch variant (pads to 8, not 128)
+        # (RBDTPU_RICCATI_STRATEGY=small|lane forces a strategy for A/Bs)
         return _backward_small(A, B, lx, lu, lxx, luu, lux, lfx, lfxx, reg,
                                batch, Bn, interpret)
     Bp = _pad128(Bn)
