@@ -549,9 +549,11 @@ def ddp_solve(
             # auto engages on TPU only: off-TPU the kernel would run in
             # interpret mode (tests opt in explicitly with
             # fused_riccati=True at small sizes)
+            import os
+            chunk_nx_min = int(os.environ.get("RBDTPU_CHUNK_NX_MIN", "24"))
             want = (
                 config.fused_riccati
-                or (config.fused_riccati is None and nx_dim >= 24
+                or (config.fused_riccati is None and nx_dim >= chunk_nx_min
                     and _on_tpu())
             )
             if want:
